@@ -1,0 +1,336 @@
+"""Projector / Filter — compiled multi-expression evaluators.
+
+Reference surface: gandiva::Projector (projector.h, libgandiva.pxd:214-240)
+and gandiva::Filter (filter.h, libgandiva.pxd:242-256): compile once per
+(schema, expressions, config) via Make, then Evaluate many record batches
+(gandiva.pyx:634-636). The compile pipeline (SURVEY.md §3.1) is re-imagined
+for TPU:
+
+    LLVMGenerator + Engine (ORC JIT)   →   jax.jit over the decomposed DAG
+    Annotator buffer-slot assignment   →   Batch pytree flattening (automatic)
+    precompiled bitcode inlining       →   XLA fusion
+    DumpIR                             →   lowered StableHLO text (``.hlo``)
+    expression cache (cache.h)         →   jit trace cache + make_projector memo
+
+Host-side "holder" tables (LIKE tables, string-dictionary ranks, IN sets on
+strings — Gandiva's function holders) are discovered in a zero-compute
+abstract pass (jax.eval_shape) at first evaluate, then recomputed per batch on
+host and fed to the traced function as extra array inputs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import dtypes as dt
+from ..batch import Batch, Column
+from ..expr.nodes import Condition, Expression
+from ..registry.registry import ExpressionValidationError, Val
+from . import validator
+from .config import Configuration, ConfigurationBuilder
+from .decomposer import ExprDecomposer, TraceContext
+from .selection import SelectionMode, SelectionVector
+
+
+def _default_config(config: Optional[Configuration]) -> Configuration:
+    return config if config is not None else \
+        ConfigurationBuilder.default_configuration()
+
+
+class _CompiledPlan:
+    """Shared compile/evaluate machinery for Projector and Filter."""
+
+    def __init__(self, schema: dt.Schema, roots: Sequence, config: Configuration):
+        self.schema = schema
+        self.config = config
+        self._roots = tuple(roots)
+        self._thunks: Optional[List[Callable]] = None
+        self._out_dict_thunks: Optional[List[Optional[Callable]]] = None
+        self._hlo_text: Optional[str] = None
+        self._jit = jax.jit(self._run)
+        self._jit_sel = jax.jit(self._run_selected)
+        self._seed = 0
+
+    # ---- tracing ------------------------------------------------------
+    def _make_vals(self, cols: Dict[str, Tuple[Any, Any]],
+                   capacity: int) -> Dict[str, Val]:
+        out = {}
+        for f in self.schema:
+            if f.name not in cols:
+                continue
+            data, validity = cols[f.name]
+            thunk = None
+            if f.dtype.is_varlen:
+                name = f.name
+                thunk = lambda batch, _n=name: batch.column(_n).dictionary
+            out[f.name] = Val(data, validity, f.dtype, dict_thunk=thunk)
+        return out
+
+    def _decompose_all(self, ctx: TraceContext) -> List[Val]:
+        dec = ExprDecomposer(ctx)
+        return [dec.decompose(r) for r in self._roots]
+
+    def _finish(self, ctx: TraceContext, outs: List[Val]):
+        """Subclass hook: turn decomposed root Vals into traced outputs."""
+        raise NotImplementedError
+
+    def _run(self, cols, length, tables, rng_key):
+        capacity = self._capacity_of(cols)
+        ctx = TraceContext(capacity, length, {}, tables=list(tables),
+                           rng_key=rng_key)
+        ctx.columns = self._make_vals(cols, capacity)
+        outs = self._decompose_all(ctx)
+        return self._finish(ctx, outs)
+
+    def _run_selected(self, cols, length, tables, rng_key, sel_indices,
+                      sel_count):
+        """Selection-vector-aware evaluation: gather the selected rows first,
+        then evaluate on the gathered batch (reference behavior:
+        test_gandiva.py:358-373 — output has len(selection) rows)."""
+        capacity = self._capacity_of(cols)
+        idx = jnp.asarray(sel_indices, dtype=jnp.int32)
+        row_ok = jnp.arange(idx.shape[0]) < sel_count
+        gathered = {}
+        for name, (data, validity) in cols.items():
+            g = jnp.asarray(data)[idx]
+            gv = jnp.asarray(validity)[idx] & row_ok
+            gathered[name] = (g, gv)
+        return self._run(gathered, sel_count, tables, rng_key)
+
+    @staticmethod
+    def _capacity_of(cols) -> int:
+        first = next(iter(cols.values()))
+        return int(first[0].shape[0])
+
+    # ---- evaluate-time host machinery ---------------------------------
+    def _cols_of(self, batch: Batch):
+        cols = {}
+        for f in self.schema:
+            if f.name in batch.columns:
+                c = batch.column(f.name)
+                cols[f.name] = (c.data, c.validity)
+        return cols
+
+    def _discover(self, batch: Batch):
+        """Zero-compute abstract pass to collect host-table thunks and
+        output dictionary thunks."""
+        cols = self._cols_of(batch)
+        abstract = {n: (jax.ShapeDtypeStruct(d.shape, d.dtype),
+                        jax.ShapeDtypeStruct(v.shape, v.dtype))
+                    for n, (d, v) in cols.items()}
+        capacity = batch.capacity
+        holder: Dict[str, Any] = {}
+
+        def probe(cols_abs):
+            ctx = TraceContext(capacity, jnp.int32(batch.length), {},
+                               tables=None, batch=batch)
+            ctx.columns = self._make_vals(cols_abs, capacity)
+            outs = self._decompose_all(ctx)
+            holder["thunks"] = list(ctx.thunks)
+            holder["dicts"] = [v.dict_thunk if v.dtype.is_varlen else None
+                               for v in outs]
+            return self._finish(ctx, outs)
+
+        jax.eval_shape(probe, abstract)
+        self._thunks = holder["thunks"]
+        self._out_dict_thunks = holder["dicts"]
+
+    def _tables_for(self, batch: Batch) -> Tuple:
+        if self._thunks is None:
+            self._discover(batch)
+        return tuple(jnp.asarray(t(batch)) for t in self._thunks)
+
+    def _next_key(self):
+        self._seed += 1
+        return jax.random.PRNGKey(self._seed)
+
+    # ---- introspection -------------------------------------------------
+    def dump_hlo(self, batch: Optional[Batch] = None) -> str:
+        """Lowered StableHLO of the compiled plan — the DumpIR analogue
+        (libgandiva.pxd:228,250; kernels named like @expr_N appear as the
+        jit-lowered main computation here)."""
+        if self._hlo_text is None and batch is not None:
+            tables = self._tables_for(batch)
+            lowered = self._jit.lower(self._cols_of(batch),
+                                      jnp.int32(batch.length), tables,
+                                      self._next_key())
+            self._hlo_text = lowered.as_text()
+        return self._hlo_text or ""
+
+    @property
+    def hlo(self) -> str:
+        return self._hlo_text or ""
+
+
+class Projector(_CompiledPlan):
+    """Compiled multi-expression evaluator (gandiva::Projector)."""
+
+    def __init__(self, schema: dt.Schema, exprs: Sequence[Expression],
+                 selection_mode: SelectionMode = SelectionMode.NONE,
+                 config: Optional[Configuration] = None):
+        config = _default_config(config)
+        exprs = tuple(exprs)
+        if not exprs:
+            raise ExpressionValidationError("projector requires expressions")
+        for e in exprs:
+            rt = validator.validate(e.root, schema)
+            if rt != e.result_field.dtype:
+                raise ExpressionValidationError(
+                    f"expression returns {rt} but result field "
+                    f"{e.result_field.name} is {e.result_field.dtype}")
+        self.exprs = exprs
+        self.selection_mode = selection_mode
+        super().__init__(schema, [e.root for e in exprs], config)
+
+    @staticmethod
+    def make(schema: dt.Schema, exprs: Sequence[Expression],
+             selection_mode: SelectionMode = SelectionMode.NONE,
+             config: Optional[Configuration] = None) -> "Projector":
+        return Projector(schema, exprs, selection_mode, config)
+
+    def _finish(self, ctx: TraceContext, outs: List[Val]):
+        cap = ctx.capacity
+        res = []
+        for v in outs:
+            value = jnp.broadcast_to(v.value, (cap,)) \
+                if v.value is not None and v.value.ndim == 0 else v.value
+            validity = v.validity if v.validity is not None \
+                else jnp.ones((cap,), dtype=bool)
+            validity = jnp.broadcast_to(validity, (cap,))
+            res.append((value, validity))
+        return res
+
+    # ---- public API ----------------------------------------------------
+    def evaluate_device(self, batch: Batch,
+                        selection: Optional[SelectionVector] = None) -> Batch:
+        """Evaluate and keep results on device as a Batch (engine-internal
+        fast path; no host transfer)."""
+        tables = self._tables_for(batch)
+        cols = self._cols_of(batch)
+        key = self._next_key()
+        if selection is None:
+            outs = self._jit(cols, jnp.int32(batch.length), tables, key)
+            length = batch.length
+        else:
+            outs = self._jit_sel(cols, jnp.int32(batch.length), tables, key,
+                                 selection.indices, selection.count)
+            length = int(jax.device_get(selection.count))
+        out_cols = {}
+        for e, (value, validity), dthunk in zip(
+                self.exprs, outs, self._out_dict_thunks):
+            dictionary = dthunk(batch) if dthunk is not None else None
+            out_cols[e.result_field.name] = Column(
+                value, validity, e.result_field.dtype, dictionary=dictionary)
+        return Batch(out_cols, length)
+
+    def evaluate(self, batch, selection: Optional[SelectionVector] = None):
+        """Evaluate a batch; returns a list of pyarrow Arrays (mirrors
+        gandiva.pyx:199-226)."""
+        import pyarrow as pa
+
+        from ..batch import column_to_arrow, from_arrow
+
+        if isinstance(batch, (pa.RecordBatch, pa.Table)):
+            batch = from_arrow(batch)
+        out = self.evaluate_device(batch, selection)
+        return [column_to_arrow(out.column(e.result_field.name), out.length)
+                for e in self.exprs]
+
+    @property
+    def llvm_ir(self) -> str:
+        """Name-compatible alias for pyarrow's Projector.llvm_ir."""
+        return self.hlo
+
+
+class Filter(_CompiledPlan):
+    """Compiled condition evaluator producing selection vectors
+    (gandiva::Filter)."""
+
+    def __init__(self, schema: dt.Schema, condition: Condition,
+                 config: Optional[Configuration] = None):
+        config = _default_config(config)
+        ct = validator.validate(condition.root, schema)
+        if ct.kind is not dt.TypeKind.BOOL:
+            raise ExpressionValidationError(
+                f"filter condition must be boolean, got {ct}")
+        self.condition = condition
+        super().__init__(schema, [condition.root], config)
+
+    @staticmethod
+    def make(schema: dt.Schema, condition: Condition,
+             config: Optional[Configuration] = None) -> "Filter":
+        return Filter(schema, condition, config)
+
+    def _finish(self, ctx: TraceContext, outs: List[Val]):
+        v = outs[0]
+        cap = ctx.capacity
+        mask = jnp.broadcast_to(v.value, (cap,))
+        if v.validity is not None:
+            mask = jnp.logical_and(mask, jnp.broadcast_to(v.validity, (cap,)))
+        mask = jnp.logical_and(mask, ctx.row_mask())
+        idx, = jnp.nonzero(mask, size=cap, fill_value=0)
+        count = jnp.sum(mask, dtype=jnp.int32)
+        return idx.astype(jnp.uint32), count
+
+    def evaluate(self, batch, mode: SelectionMode = SelectionMode.UINT32
+                 ) -> SelectionVector:
+        """Evaluate the condition; rows where it is true AND valid land in the
+        selection (gandiva.pyx:247-280; semantics test_gandiva.py:113-114)."""
+        import pyarrow as pa
+
+        from ..batch import from_arrow
+
+        if isinstance(batch, (pa.RecordBatch, pa.Table)):
+            batch = from_arrow(batch)
+        tables = self._tables_for(batch)
+        cols = self._cols_of(batch)
+        idx, count = self._jit(cols, jnp.int32(batch.length), tables,
+                               self._next_key())
+        if mode is SelectionMode.UINT16:
+            idx = idx.astype(jnp.uint16)
+        elif mode is SelectionMode.UINT64:
+            idx = idx.astype(jnp.uint64)
+        return SelectionVector(idx, count, mode)
+
+    @property
+    def llvm_ir(self) -> str:
+        return self.hlo
+
+
+# ---------------------------------------------------------------------------
+# module-level factories + compiled-plan cache (SURVEY.md §2a#17)
+# ---------------------------------------------------------------------------
+
+_PLAN_CACHE: Dict[Any, Any] = {}
+
+
+def make_projector(schema: dt.Schema, exprs: Sequence[Expression],
+                   selection_mode: SelectionMode = SelectionMode.NONE,
+                   config: Optional[Configuration] = None,
+                   use_cache: bool = True) -> Projector:
+    config = _default_config(config)
+    key = ("projector", schema, tuple(exprs), selection_mode, config)
+    if use_cache and key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    p = Projector.make(schema, exprs, selection_mode, config)
+    if use_cache:
+        _PLAN_CACHE[key] = p
+    return p
+
+
+def make_filter(schema: dt.Schema, condition: Condition,
+                config: Optional[Configuration] = None,
+                use_cache: bool = True) -> Filter:
+    config = _default_config(config)
+    key = ("filter", schema, condition, config)
+    if use_cache and key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    f = Filter.make(schema, condition, config)
+    if use_cache:
+        _PLAN_CACHE[key] = f
+    return f
