@@ -273,9 +273,9 @@ class Filter(_CompiledPlan):
         if v.validity is not None:
             mask = jnp.logical_and(mask, jnp.broadcast_to(v.validity, (cap,)))
         mask = jnp.logical_and(mask, ctx.row_mask())
-        idx, = jnp.nonzero(mask, size=cap, fill_value=0)
-        count = jnp.sum(mask, dtype=jnp.int32)
-        return idx.astype(jnp.uint32), count
+        from ..ops.compaction import compact_mask
+        idx, count = compact_mask(mask)
+        return idx, count
 
     def evaluate(self, batch, mode: SelectionMode = SelectionMode.UINT32
                  ) -> SelectionVector:

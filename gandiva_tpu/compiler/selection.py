@@ -80,7 +80,8 @@ class SelectionVector:
     def from_mask(mask, mode: SelectionMode = SelectionMode.UINT32,
                   capacity: int | None = None) -> "SelectionVector":
         """Compact a boolean mask into packed indices (traceable)."""
-        cap = capacity if capacity is not None else mask.shape[0]
-        idx, = jnp.nonzero(mask, size=cap, fill_value=0)
-        count = jnp.sum(mask, dtype=jnp.int32)
-        return SelectionVector(idx.astype(_MODE_DTYPE[mode]), count, mode)
+        from ..ops.compaction import compact_mask
+
+        idx, count = compact_mask(mask, capacity=capacity,
+                                  index_dtype=_MODE_DTYPE[mode])
+        return SelectionVector(idx, count, mode)

@@ -1,0 +1,115 @@
+"""Canonical engine entry points for harness/driver integration.
+
+``flagship_step`` — the engine's flagship single-chip computation: the
+BASELINE configs[0] query (filter ``a > 500``, project ``b*2 +
+castFLOAT8(a)``) compiled through the real expression pipeline into one
+jittable function.
+
+``distributed_step`` — the full multi-chip execution step: per-shard filter →
+hash-partition shuffle (all_to_all over the mesh) → per-shard grouped
+aggregation → global combine. This is the shape of every distributed query
+this engine runs (data-parallel over a 1-axis partition mesh; SURVEY.md §2c:
+partition data-parallelism is the only parallelism axis with a referent in
+the reference's deployment model).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from . import dtypes as dt
+from .compiler.projector import Filter, Projector
+from .expr.builder import TreeExprBuilder as B
+from .parallel import mesh as meshmod
+from .parallel.shuffle import shuffle_by_key
+
+
+def _flagship_schema():
+    return dt.Schema([dt.Field("a", dt.int64), dt.Field("b", dt.float64)])
+
+
+def _flagship_plans():
+    schema = _flagship_schema()
+    na, nb = B.make_field(schema.field("a")), B.make_field(schema.field("b"))
+    cond = B.make_condition(
+        B.make_function("greater_than", [na, B.make_int64_literal(500)],
+                        dt.bool_))
+    expr = B.make_expression(
+        B.make_function(
+            "add",
+            [B.make_function("multiply", [nb, B.make_double_literal(2.0)],
+                             dt.float64),
+             B.make_function("castFLOAT8", [na], dt.float64)],
+            dt.float64),
+        dt.Field("out", dt.float64))
+    return Filter.make(schema, cond), Projector.make(schema, [expr])
+
+
+def flagship_step():
+    """Returns (fn, example_args): jittable filter+project step."""
+    filt, proj = _flagship_plans()
+
+    def fn(a_data, a_valid, b_data, b_valid):
+        cols = {"a": (a_data, a_valid), "b": (b_data, b_valid)}
+        length = jnp.int32(a_data.shape[0])
+        key = jax.random.PRNGKey(0)
+        sel_idx, sel_count = filt._run(cols, length, (), key)
+        ((out_val, out_valid),) = proj._run_selected(
+            cols, length, (), key, sel_idx, sel_count)
+        return sel_idx, sel_count, out_val, out_valid
+
+    n = 8192
+    rng = np.random.default_rng(0)
+    example_args = (
+        jnp.asarray(rng.integers(0, 1000, n).astype(np.int64)),
+        jnp.ones(n, dtype=bool),
+        jnp.asarray(rng.random(n)),
+        jnp.ones(n, dtype=bool),
+    )
+    return fn, example_args
+
+
+def distributed_step(mesh, shuffle_capacity: int, num_groups: int = 64):
+    """The full distributed query step, jitted over ``mesh``.
+
+    Per shard: filter (expression engine) → shuffle by key hash → grouped
+    sum/count aggregation over received rows → psum row stats. Returns a
+    jitted fn(keys, vals, valid) with inputs sharded over the partition axis.
+    """
+    filt, proj = _flagship_plans()
+    axis = meshmod.PARTITION_AXIS
+
+    def shard_fn(keys, vals, valid):
+        cols = {"a": (keys, valid), "b": (vals, valid)}
+        length = jnp.int32(keys.shape[0])
+        rkey = jax.random.PRNGKey(0)
+        # 1. filter on the local shard
+        sel_idx, sel_count = filt._run(cols, length, (), rkey)
+        ((proj_val, proj_valid),) = proj._run_selected(
+            cols, length, (), rkey, sel_idx, sel_count)
+        row_ok = jnp.arange(keys.shape[0]) < sel_count
+        sel_keys = keys[sel_idx]
+        # 2. shuffle filtered rows by key hash
+        flat, fvalid, overflow = shuffle_by_key(
+            sel_keys, row_ok & proj_valid,
+            {"key": sel_keys, "val": proj_val}, axis, shuffle_capacity)
+        # 3. per-shard grouped aggregation (keys co-located after shuffle)
+        gid = (flat["key"] % num_groups).astype(jnp.int32)
+        gid = jnp.where(fvalid, gid, num_groups)
+        gsum = jnp.zeros((num_groups + 1,), proj_val.dtype).at[gid].add(
+            jnp.where(fvalid, flat["val"], 0.0))[:num_groups]
+        gcount = jnp.zeros((num_groups + 1,), jnp.int64).at[gid].add(1)[:num_groups]
+        # 4. global row stats over the mesh
+        total_rows = jax.lax.psum(jnp.sum(fvalid.astype(jnp.int64)), axis)
+        return gsum, gcount, total_rows, overflow
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(), P()))
+    return jax.jit(fn)

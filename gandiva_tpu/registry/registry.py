@@ -103,6 +103,10 @@ class FunctionRegistry:
 
     def lookup(self, name: str,
                arg_types: Sequence[dt.DataType]) -> Optional[NativeFunction]:
+        # primary names always win; the alias map is a fallback only
+        hit = self._table.get((name, tuple(arg_types)))
+        if hit is not None:
+            return hit
         cname = self.canonical_name(name)
         return self._table.get((cname, tuple(arg_types)))
 
@@ -121,8 +125,8 @@ class FunctionRegistry:
         return fn
 
     def signatures_for(self, name: str) -> List[FunctionSignature]:
-        cname = self.canonical_name(name)
-        return [f.signature for (n, _), f in self._table.items() if n == cname]
+        names = {name, self.canonical_name(name)}
+        return [f.signature for (n, _), f in self._table.items() if n in names]
 
     def all_signatures(self) -> List[FunctionSignature]:
         """The introspection surface — mirrors Gandiva's

@@ -1,0 +1,187 @@
+"""String kernel tests — dictionary-encoded execution path.
+
+Ports the reference's LIKE and string-IN behaviors (pyarrow
+test_gandiva.py:296-316 test_regex, :118-151 test_in_expr) plus coverage of
+the transform/scalar/comparison lowering shapes.
+"""
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import gandiva_tpu as g
+from gandiva_tpu import dtypes as dt
+
+B = g.TreeExprBuilder
+
+SCHEMA = dt.Schema([dt.Field("s", dt.string)])
+
+
+def _sbatch(vals):
+    return pa.RecordBatch.from_arrays([pa.array(vals, type=pa.string())],
+                                      names=["s"])
+
+
+def _project1(fn_name, batch, ret, extra_args=(), schema=SCHEMA):
+    args = [B.make_field(schema.field("s"))] + list(extra_args)
+    expr = B.make_expression(B.make_function(fn_name, args, ret),
+                             dt.Field("r", ret))
+    (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
+    return r
+
+
+def test_like():
+    # mirrors test_gandiva.py:296-316: %spark% over 4 values
+    data = ["apache arrow", "sparkles", "spark", "pyspark"]
+    batch = _sbatch(data)
+    cond = B.make_condition(B.make_function(
+        "like", [B.make_field(SCHEMA.field("s")),
+                 B.make_string_literal("%spark%")], dt.bool_))
+    sel = g.make_filter(SCHEMA, cond, use_cache=False).evaluate(batch)
+    np.testing.assert_array_equal(sel.to_numpy(), [1, 2, 3])
+
+
+def test_like_underscore_and_escape():
+    data = ["cat", "cut", "c_t", "coat"]
+    batch = _sbatch(data)
+    r = _project1("like", batch, dt.bool_, [B.make_string_literal("c_t")])
+    assert r.to_pylist() == [True, True, True, False]
+    r = _project1("like", batch, dt.bool_,
+                  [B.make_string_literal("c\\_t"),
+                   B.make_string_literal("\\")])
+    assert r.to_pylist() == [False, False, True, False]
+
+
+def test_in_string():
+    # mirrors test_gandiva.py string IN
+    data = ["an", "ant", "bat", "ants", None]
+    batch = _sbatch(data)
+    node = B.make_in_expression_string(B.make_field(SCHEMA.field("s")),
+                                       ["an", "bat"])
+    sel = g.make_filter(SCHEMA, B.make_condition(node),
+                        use_cache=False).evaluate(batch)
+    np.testing.assert_array_equal(sel.to_numpy(), [0, 2])
+
+
+def test_upper_lower_transforms():
+    data = ["Hello World", "FOO", None, "bar"]
+    batch = _sbatch(data)
+    r = _project1("upper", batch, dt.string)
+    assert r.to_pylist() == ["HELLO WORLD", "FOO", None, "BAR"]
+    r = _project1("lower", batch, dt.string)
+    assert r.to_pylist() == ["hello world", "foo", None, "bar"]
+    r = _project1("reverse", batch, dt.string)
+    assert r.to_pylist() == ["dlroW olleH", "OOF", None, "rab"]
+
+
+def test_transform_chain():
+    # upper(btrim(s)) — dictionary transforms compose
+    data = ["  a b  ", "xy", None]
+    batch = _sbatch(data)
+    inner = B.make_function("btrim", [B.make_field(SCHEMA.field("s"))],
+                            dt.string)
+    expr = B.make_expression(B.make_function("upper", [inner], dt.string),
+                             dt.Field("r", dt.string))
+    (r,) = g.make_projector(SCHEMA, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == ["A B", "XY", None]
+
+
+def test_length_and_substr():
+    data = ["hello", "", None, "abcdef"]
+    batch = _sbatch(data)
+    r = _project1("length", batch, dt.int32)
+    assert r.to_pylist() == [5, 0, None, 6]
+    r = _project1("substr", batch, dt.string,
+                  [B.make_int64_literal(2), B.make_int64_literal(3)])
+    assert r.to_pylist() == ["ell", "", None, "bcd"]
+
+
+def test_string_compare_two_columns():
+    schema = dt.Schema([dt.Field("s", dt.string), dt.Field("t", dt.string)])
+    a = pa.array(["apple", "pear", "fig", None], type=pa.string())
+    b = pa.array(["apricot", "pear", "date", "kiwi"], type=pa.string())
+    batch = pa.RecordBatch.from_arrays([a, b], names=["s", "t"])
+    for fn, op in [("equal", lambda x, y: x == y),
+                   ("less_than", lambda x, y: x < y),
+                   ("greater_than_or_equal_to", lambda x, y: x >= y)]:
+        expr = B.make_expression(
+            B.make_function(fn, [B.make_field(schema.field("s")),
+                                 B.make_field(schema.field("t"))], dt.bool_),
+            dt.Field("r", dt.bool_))
+        (r,) = g.make_projector(schema, [expr],
+                                use_cache=False).evaluate(batch)
+        exp = [None if (x is None or y is None) else op(x, y)
+               for x, y in zip(a.to_pylist(), b.to_pylist())]
+        assert r.to_pylist() == exp, fn
+
+
+def test_string_compare_literal():
+    data = ["an", "ant", "bat", None]
+    batch = _sbatch(data)
+    r = _project1("equal", batch, dt.bool_, [B.make_string_literal("ant")])
+    assert r.to_pylist() == [False, True, False, None]
+    r = _project1("less_than", batch, dt.bool_, [B.make_string_literal("b")])
+    assert r.to_pylist() == [True, True, False, None]
+
+
+def test_concat():
+    schema = dt.Schema([dt.Field("s", dt.string), dt.Field("t", dt.string)])
+    a = pa.array(["a", "b", None], type=pa.string())
+    b = pa.array(["x", None, "z"], type=pa.string())
+    batch = pa.RecordBatch.from_arrays([a, b], names=["s", "t"])
+    expr = B.make_expression(
+        B.make_function("concat", [B.make_field(schema.field("s")),
+                                   B.make_field(schema.field("t"))],
+                        dt.string),
+        dt.Field("r", dt.string))
+    (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == ["ax", None, None]
+    # concat with literal
+    expr2 = B.make_expression(
+        B.make_function("concat", [B.make_field(schema.field("s")),
+                                   B.make_string_literal("!")], dt.string),
+        dt.Field("r", dt.string))
+    (r2,) = g.make_projector(schema, [expr2], use_cache=False).evaluate(batch)
+    assert r2.to_pylist() == ["a!", "b!", None]
+
+
+def test_starts_ends_strpos():
+    data = ["spark", "sparkles", "park", None]
+    batch = _sbatch(data)
+    r = _project1("starts_with", batch, dt.bool_,
+                  [B.make_string_literal("spark")])
+    assert r.to_pylist() == [True, True, False, None]
+    r = _project1("ends_with", batch, dt.bool_,
+                  [B.make_string_literal("les")])
+    assert r.to_pylist() == [False, True, False, None]
+    r = _project1("strpos", batch, dt.int32, [B.make_string_literal("ark")])
+    assert r.to_pylist() == [3, 3, 2, None]
+
+
+def test_cast_string_to_number():
+    data = ["42", "-7", "notanum", None]
+    batch = _sbatch(data)
+    r = _project1("castBIGINT", batch, dt.int64)
+    assert r.to_pylist() == [42, -7, 0, None]
+
+
+def test_string_hash_partition_consistency():
+    # same value in different dictionaries hashes identically
+    b1 = _sbatch(["x", "y", "z"])
+    b2 = _sbatch(["q", "x"])
+    r1 = _project1("hash64", b1, dt.int64).to_pylist()
+    r2 = _project1("hash64", b2, dt.int64).to_pylist()
+    assert r1[0] == r2[1]  # "x"
+    assert len(set(r1)) == 3
+
+
+def test_dictionary_changes_between_batches():
+    # the same compiled plan must track per-batch dictionaries
+    cond = B.make_condition(B.make_function(
+        "like", [B.make_field(SCHEMA.field("s")),
+                 B.make_string_literal("a%")], dt.bool_))
+    filt = g.make_filter(SCHEMA, cond, use_cache=False)
+    sel1 = filt.evaluate(_sbatch(["ax", "bx", "ay"]))
+    np.testing.assert_array_equal(sel1.to_numpy(), [0, 2])
+    sel2 = filt.evaluate(_sbatch(["zz", "aq", "bb", "aa"]))
+    np.testing.assert_array_equal(sel2.to_numpy(), [1, 3])
