@@ -39,7 +39,8 @@ from .registry.signature import FunctionSignature  # noqa: E402
 
 from .compiler.config import Configuration, ConfigurationBuilder  # noqa: E402
 from .compiler.selection import SelectionMode, SelectionVector  # noqa: E402
-from .compiler.projector import (Filter, Projector, make_filter,  # noqa: E402
+from .compiler.projector import (Filter, FilterProject, Projector,  # noqa: E402
+                                 make_filter, make_filter_project,
                                  make_projector)
 
 
@@ -58,7 +59,8 @@ __all__ = [
     "TreeExprBuilder",
     "Configuration", "ConfigurationBuilder",
     "SelectionMode", "SelectionVector",
-    "Projector", "Filter", "make_projector", "make_filter",
+    "Projector", "Filter", "FilterProject", "make_projector",
+    "make_filter", "make_filter_project",
     "FunctionRegistry", "FunctionSignature", "global_registry",
     "get_registered_function_signatures",
     "ExpressionValidationError",

@@ -42,6 +42,15 @@ def _default_config(config: Optional[Configuration]) -> Configuration:
         ConfigurationBuilder.default_configuration()
 
 
+def _condition_mask(ctx: TraceContext, v: Val):
+    """Boolean condition Val → row mask (true AND valid AND within length)."""
+    cap = ctx.capacity
+    mask = jnp.broadcast_to(v.value, (cap,))
+    if v.validity is not None:
+        mask = jnp.logical_and(mask, jnp.broadcast_to(v.validity, (cap,)))
+    return jnp.logical_and(mask, ctx.row_mask())
+
+
 class _CompiledPlan:
     """Shared compile/evaluate machinery for Projector and Filter."""
 
@@ -92,12 +101,14 @@ class _CompiledPlan:
         """Selection-vector-aware evaluation: gather the selected rows first,
         then evaluate on the gathered batch (reference behavior:
         test_gandiva.py:358-373 — output has len(selection) rows)."""
+        from ..utils.bits import gather32
+
         capacity = self._capacity_of(cols)
         idx = jnp.asarray(sel_indices, dtype=jnp.int32)
         row_ok = jnp.arange(idx.shape[0]) < sel_count
         gathered = {}
         for name, (data, validity) in cols.items():
-            g = jnp.asarray(data)[idx]
+            g = gather32(jnp.asarray(data), idx)
             gv = jnp.asarray(validity)[idx] & row_ok
             gathered[name] = (g, gv)
         return self._run(gathered, sel_count, tables, rng_key)
@@ -267,14 +278,9 @@ class Filter(_CompiledPlan):
         return Filter(schema, condition, config)
 
     def _finish(self, ctx: TraceContext, outs: List[Val]):
-        v = outs[0]
-        cap = ctx.capacity
-        mask = jnp.broadcast_to(v.value, (cap,))
-        if v.validity is not None:
-            mask = jnp.logical_and(mask, jnp.broadcast_to(v.validity, (cap,)))
-        mask = jnp.logical_and(mask, ctx.row_mask())
-        from ..ops.compaction import compact_mask
-        idx, count = compact_mask(mask)
+        mask = _condition_mask(ctx, outs[0])
+        from ..ops.compaction import compact_sort
+        idx, count, _ = compact_sort(mask)
         return idx, count
 
     def evaluate(self, batch, mode: SelectionMode = SelectionMode.UINT32
@@ -300,6 +306,85 @@ class Filter(_CompiledPlan):
     @property
     def llvm_ir(self) -> str:
         return self.hlo
+
+
+class FilterProject(_CompiledPlan):
+    """Fused filter→project plan: the reference composes these through a
+    materialized selection vector (test_gandiva.py:330-373); on TPU the
+    speed-of-light formulation evaluates the projections *densely* (fused
+    elementwise is nearly free), then performs ONE stable sort-compaction
+    that packs the selection indices and every projected column together —
+    avoiding the 64-bit random gather entirely (measured 306 vs 36 Mrows/s
+    at 16M rows, bench_reference/prof_ops.py). Produces bit-identical
+    results to the unfused Filter + Projector(selection) path."""
+
+    def __init__(self, schema: dt.Schema, condition: Condition,
+                 exprs: Sequence[Expression],
+                 config: Optional[Configuration] = None):
+        config = _default_config(config)
+        ct = validator.validate(condition.root, schema)
+        if ct.kind is not dt.TypeKind.BOOL:
+            raise ExpressionValidationError(
+                f"filter condition must be boolean, got {ct}")
+        for e in exprs:
+            rt = validator.validate(e.root, schema)
+            if rt != e.result_field.dtype:
+                raise ExpressionValidationError(
+                    f"expression returns {rt} but result field "
+                    f"{e.result_field.name} is {e.result_field.dtype}")
+        self.condition = condition
+        self.exprs = tuple(exprs)
+        super().__init__(schema, [condition.root] + [e.root for e in exprs],
+                         config)
+
+    @staticmethod
+    def make(schema, condition, exprs, config=None) -> "FilterProject":
+        return FilterProject(schema, condition, exprs, config)
+
+    def _finish(self, ctx: TraceContext, outs: List[Val]):
+        from ..ops.compaction import compact_sort
+
+        mask = _condition_mask(ctx, outs[0])
+        cap = ctx.capacity
+        payload = []
+        for v in outs[1:]:
+            value = jnp.broadcast_to(v.value, (cap,))
+            validity = jnp.ones((cap,), dtype=bool) if v.validity is None \
+                else jnp.broadcast_to(v.validity, (cap,))
+            payload.extend([value, validity])
+        idx, count, packed = compact_sort(mask, payload)
+        return idx, count, packed
+
+    def evaluate_device(self, batch: Batch):
+        """Returns (SelectionVector, Batch of projected columns) — both
+        logically ``count`` rows long."""
+        from .selection import SelectionMode, SelectionVector
+
+        tables = self._tables_for(batch)
+        cols = self._cols_of(batch)
+        idx, count, packed = self._jit(cols, jnp.int32(batch.length), tables,
+                                       self._next_key())
+        length = int(jax.device_get(count))
+        out_cols = {}
+        for i, e in enumerate(self.exprs):
+            value, validity = packed[2 * i], packed[2 * i + 1]
+            dthunk = self._out_dict_thunks[i + 1]
+            dictionary = dthunk(batch) if dthunk is not None else None
+            out_cols[e.result_field.name] = Column(
+                value, validity, e.result_field.dtype, dictionary=dictionary)
+        sel = SelectionVector(idx, count, SelectionMode.UINT32)
+        return sel, Batch(out_cols, length)
+
+    def evaluate(self, batch):
+        import pyarrow as pa
+
+        from ..batch import column_to_arrow, from_arrow
+
+        if isinstance(batch, (pa.RecordBatch, pa.Table)):
+            batch = from_arrow(batch)
+        sel, out = self.evaluate_device(batch)
+        return sel, [column_to_arrow(out.column(e.result_field.name),
+                                     out.length) for e in self.exprs]
 
 
 # ---------------------------------------------------------------------------
@@ -334,3 +419,17 @@ def make_filter(schema: dt.Schema, condition: Condition,
     if use_cache:
         _PLAN_CACHE[key] = f
     return f
+
+
+def make_filter_project(schema: dt.Schema, condition: Condition,
+                        exprs: Sequence[Expression],
+                        config: Optional[Configuration] = None,
+                        use_cache: bool = True) -> FilterProject:
+    config = _default_config(config)
+    key = ("filter_project", schema, condition, tuple(exprs), config)
+    if use_cache and key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    fp = FilterProject.make(schema, condition, exprs, config)
+    if use_cache:
+        _PLAN_CACHE[key] = fp
+    return fp

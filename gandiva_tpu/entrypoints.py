@@ -51,17 +51,19 @@ def _flagship_plans():
 
 
 def flagship_step():
-    """Returns (fn, example_args): jittable filter+project step."""
+    """Returns (fn, example_args): jittable fused filter+project step
+    (dense projection + one sort-compaction — see FilterProject)."""
+    from .compiler.projector import FilterProject
+
     filt, proj = _flagship_plans()
+    fp = FilterProject.make(filt.schema, filt.condition, proj.exprs)
 
     def fn(a_data, a_valid, b_data, b_valid):
         cols = {"a": (a_data, a_valid), "b": (b_data, b_valid)}
         length = jnp.int32(a_data.shape[0])
         key = jax.random.PRNGKey(0)
-        sel_idx, sel_count = filt._run(cols, length, (), key)
-        ((out_val, out_valid),) = proj._run_selected(
-            cols, length, (), key, sel_idx, sel_count)
-        return sel_idx, sel_count, out_val, out_valid
+        sel_idx, sel_count, packed = fp._run(cols, length, (), key)
+        return sel_idx, sel_count, packed[0], packed[1]
 
     n = 8192
     rng = np.random.default_rng(0)

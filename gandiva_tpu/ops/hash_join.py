@@ -1,0 +1,170 @@
+"""Join: inner/left/right/full/semi/anti over 64-bit keys.
+
+Behavioral oracle: pyarrow.acero's 'hashjoin' Declaration (SURVEY.md §2c,
+BASELINE configs[3] — 1B×10M skewed probe/build). TPU design under static
+shapes:
+
+- build side: sort by normalized key once (the "hash table" is a sorted
+  array — binary search is branch-free and vectorizes perfectly; duplicate
+  build keys become contiguous runs, so a probe match is a [lo, hi) range);
+- probe side: two vectorized ``searchsorted`` passes give per-probe match
+  ranges; match multiplicity = hi - lo;
+- output expansion: rows explode into a fixed-capacity (probe_idx,
+  build_idx) pair buffer via exclusive-cumsum offsets + scatter of run
+  starts + cummax fill — O(N + C) with no data-dependent shapes; capacity
+  overflow is detected and reported (Status-style, SURVEY.md §5.3);
+- right/full joins: matched-build-row flags computed with a ±1 diff array
+  over the sorted runs + cumsum, then unmatched build rows appended.
+
+Null semantics (SQL): null keys never match; left/right/full emit them with
+the other side null.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .sort import SortKey, normalize_key, sort_permutation
+
+
+class JoinResult(NamedTuple):
+    probe_idx: jnp.ndarray     # int32[capacity]; -1 ⇒ no probe row (right/full)
+    build_idx: jnp.ndarray     # int32[capacity]; -1 ⇒ no build row (left/anti)
+    count: jnp.ndarray         # int32 scalar: valid pair rows
+    overflow: jnp.ndarray      # bool: capacity exceeded
+
+
+def _exclusive_cumsum(x):
+    c = jnp.cumsum(x)
+    return c - x, c[-1] if x.shape[0] else jnp.int32(0)
+
+
+def join(probe_keys, build_keys, capacity: int, how: str = "inner",
+         probe_valid=None, build_valid=None,
+         probe_length=None, build_length=None,
+         probe_exists=None, build_exists=None) -> JoinResult:
+    """Join probe×build on 64-bit keys; returns index pairs into the
+    original row orders (gather payloads with them).
+
+    ``*_valid``: key validity (null keys never match but their rows still
+    emit on the outer sides). ``*_length`` / ``*_exists``: row existence —
+    non-existing rows (padding, unfilled shuffle slots) never emit at all.
+    """
+    how = how.lower()
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(f"unknown join type {how!r}")
+    np_, nb = probe_keys.shape[0], build_keys.shape[0]
+
+    if probe_exists is None:
+        probe_exists = jnp.ones((np_,), dtype=bool)
+    if probe_length is not None:
+        probe_exists = probe_exists & (jnp.arange(np_) < probe_length)
+    probe_kv = probe_exists if probe_valid is None \
+        else (probe_valid & probe_exists)
+    if build_exists is None:
+        build_exists = jnp.ones((nb,), dtype=bool)
+    if build_length is not None:
+        build_exists = build_exists & (jnp.arange(nb) < build_length)
+    build_kv = build_exists if build_valid is None \
+        else (build_valid & build_exists)
+
+    # ---- build phase: sort build keys; key-invalid rows sort last --------
+    perm = sort_permutation(
+        [SortKey(build_keys, validity=build_kv, nulls_first=False)])
+    sorted_keys = normalize_key(build_keys)[perm]
+    sorted_valid = build_kv[perm]
+    sorted_exists = build_exists[perm]
+    n_build_valid = jnp.sum(build_kv.astype(jnp.int32))
+    # invalid rows sit past the valid prefix but hold garbage key values;
+    # pin them to the max sentinel so the whole array satisfies
+    # searchsorted's sorted precondition (range clamps below keep any real
+    # max-valued keys correct)
+    maxval = jnp.array(jnp.iinfo(sorted_keys.dtype).max, sorted_keys.dtype)
+    sorted_keys = jnp.where(sorted_valid, sorted_keys, maxval)
+
+    # ---- probe phase: range lookup --------------------------------------
+    pk = normalize_key(probe_keys)
+    lo = jnp.searchsorted(sorted_keys, pk, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(sorted_keys, pk, side="right").astype(jnp.int32)
+    # clamp ranges to the valid prefix of the sorted build side
+    lo = jnp.minimum(lo, n_build_valid)
+    hi = jnp.minimum(hi, n_build_valid)
+    cnt = jnp.where(probe_kv, hi - lo, 0)
+
+    if how == "semi":
+        emit = jnp.minimum(cnt, 1)
+    elif how == "anti":
+        emit = jnp.where(probe_exists & (cnt == 0), 1, 0)
+    elif how in ("left", "full"):
+        emit = jnp.where(probe_exists, jnp.maximum(cnt, 1), 0)
+    else:  # inner, right probe-part
+        emit = cnt
+
+    offsets, total_probe_part = _exclusive_cumsum(emit)
+
+    # ---- expansion: fill capacity slots ---------------------------------
+    C = capacity
+    slot_probe = jnp.full((C + 1,), -1, dtype=jnp.int32)
+    has_out = emit > 0
+    start = jnp.where(has_out & (offsets < C), offsets, C)
+    slot_probe = slot_probe.at[start].max(
+        jnp.arange(np_, dtype=jnp.int32), mode="drop")
+    slot_probe = lax.cummax(slot_probe[:C])
+    r = jnp.arange(C, dtype=jnp.int32)
+    in_probe_part = r < total_probe_part
+    p = jnp.clip(slot_probe, 0, np_ - 1)
+    j = r - offsets[p]
+    matched = cnt[p] > 0
+    bsorted = jnp.clip(lo[p] + j, 0, nb - 1)
+    build_out = jnp.where(matched, perm[bsorted].astype(jnp.int32), -1)
+    if how in ("semi", "anti"):
+        build_out = jnp.full((C,), -1, dtype=jnp.int32)
+    probe_out = jnp.where(in_probe_part, slot_probe, -1)
+    build_out = jnp.where(in_probe_part, build_out, -1)
+    total = total_probe_part
+
+    # ---- right/full: append unmatched build rows ------------------------
+    if how in ("right", "full"):
+        # matched sorted-build positions via ±1 run markers + cumsum
+        marks = jnp.zeros((nb + 1,), dtype=jnp.int32)
+        touch = cnt > 0
+        marks = marks.at[jnp.where(touch, lo, nb)].add(1, mode="drop")
+        marks = marks.at[jnp.where(touch, hi, nb)].add(-1, mode="drop")
+        covered = jnp.cumsum(marks[:nb]) > 0
+        # existing-but-unmatched build rows, including null-key rows
+        unmatched = sorted_exists & ~covered
+        n_unmatched = jnp.sum(unmatched.astype(jnp.int32))
+        upos, _ = _exclusive_cumsum(unmatched.astype(jnp.int32))
+        uslot = jnp.where(unmatched & (total + upos < C), total + upos, C)
+        build_out = jnp.concatenate(
+            [build_out, jnp.zeros((1,), jnp.int32)]).at[uslot].set(
+                perm.astype(jnp.int32), mode="drop")[:C]
+        total = total + n_unmatched
+
+    overflow = total > C
+    count = jnp.minimum(total, C).astype(jnp.int32)
+    return JoinResult(probe_out, build_out, count, overflow)
+
+
+def gather_payload(result: JoinResult, probe_cols=None, build_cols=None):
+    """Materialize output columns from a JoinResult.
+
+    Each cols dict maps name → (values, validity-or-None); unmatched side
+    rows come out null. Returns ({name: (values, validity)}, row_valid)."""
+    out = {}
+    r = jnp.arange(result.probe_idx.shape[0])
+    row_ok = r < result.count
+    for cols, idx in ((probe_cols, result.probe_idx),
+                      (build_cols, result.build_idx)):
+        if not cols:
+            continue
+        present = (idx >= 0) & row_ok
+        safe = jnp.clip(idx, 0, None)
+        for name, (vals, validity) in cols.items():
+            g = vals[safe]
+            gv = present if validity is None else (validity[safe] & present)
+            out[name] = (g, gv)
+    return out, row_ok

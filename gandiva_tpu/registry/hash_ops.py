@@ -26,15 +26,14 @@ def _hash32_impl(ctx, args):
     if len(args) == 2:
         seed = args[1].value.view(jnp.uint32) if args[1].value.dtype == jnp.int32 \
             else args[1].value.astype(jnp.uint32)
-    return hash32(args[0].value, seed).view(jnp.int32)
+    return hash32(args[0].value, seed).view(jnp.int32)  # 32-bit view is fine
 
 
 def _hash64_impl(ctx, args):
     seed = jnp.uint64(0)
     if len(args) == 2:
-        seed = args[1].value.view(jnp.uint64) if args[1].value.dtype == jnp.int64 \
-            else args[1].value.astype(jnp.uint64)
-    return hash64(args[0].value, seed).view(jnp.int64)
+        seed = args[1].value.astype(jnp.uint64)  # wrap-astype: no 64-bit view
+    return hash64(args[0].value, seed).astype(jnp.int64)
 
 
 for _t in _HASHABLE:

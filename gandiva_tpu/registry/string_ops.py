@@ -519,8 +519,7 @@ def _hash_string_impl(bits):
             ctx, s, lambda d: hash_bytes_np(d, seed).view(np.int64),
             0, "hash")
         if bits == 32:
-            return (t.view(jnp.uint64) & jnp.uint64(0xFFFFFFFF)).astype(
-                jnp.uint32).view(jnp.int32)
+            return (t & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
         return t
 
     return impl

@@ -45,23 +45,25 @@ def hash32(x, seed=jnp.uint32(0)):
     stays in native TPU lanes; floats hash by bit pattern with -0.0
     normalized to +0.0 (SQL equality semantics).
     """
+    from .bits import split_f64, split_i64
+
     dt = x.dtype
     if dt == jnp.bool_:
         return _combine(seed, x.astype(jnp.uint32))
-    if dt in (jnp.float32, jnp.float64):
+    if dt == jnp.float32:
         x = jnp.where(x == 0.0, jnp.zeros_like(x), x)  # -0.0 → +0.0
-        if dt == jnp.float32:
-            x = x.view(jnp.uint32)
-        else:
-            x = x.view(jnp.uint64)
-        dt = x.dtype
+        return _combine(seed, x.view(jnp.uint32))
+    if dt == jnp.float64:
+        x = jnp.where(x == 0.0, jnp.zeros_like(x), x)
+        a, b = split_f64(x)  # platform-exact 32-bit parts (utils/bits.py)
+        a = a if a.dtype == jnp.uint32 else a.view(jnp.uint32)
+        b = b if b.dtype == jnp.uint32 else b.view(jnp.uint32)
+        return _combine(_combine(seed, a), b)
     if dt in (jnp.int64, jnp.uint64):
-        u = x.view(jnp.uint64) if dt == jnp.int64 else x
-        lo = (u & jnp.uint64(0xFFFF_FFFF)).astype(jnp.uint32)
-        hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+        lo, hi = split_i64(x)
         return _combine(_combine(seed, lo), hi)
     # ≤32-bit ints: widen preserving two's-complement bit pattern
-    u = x.astype(jnp.int64).view(jnp.uint64).astype(jnp.uint32) \
+    u = x.astype(jnp.int32).astype(jnp.uint32) \
         if dt in (jnp.int8, jnp.int16, jnp.int32) else x.astype(jnp.uint32)
     return _combine(seed, u)
 

@@ -1,0 +1,125 @@
+"""Hash aggregate tests — differential vs pyarrow (Acero oracle)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import jax.numpy as jnp
+
+from gandiva_tpu.ops.groupby import group_ids
+from gandiva_tpu.ops.hash_aggregate import hash_aggregate
+
+
+def _oracle_agg(keys, vals, key_null=None, val_null=None):
+    """pyarrow groupby oracle returning dict key→(sum, count, min, max)."""
+    k = pa.array(keys, mask=key_null)
+    v = pa.array(vals, mask=val_null)
+    t = pa.table({"k": k, "v": v})
+    res = t.group_by("k").aggregate(
+        [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")])
+    out = {}
+    for row in res.to_pylist():
+        out[row["k"]] = (row["v_sum"], row["v_count"], row["v_min"],
+                         row["v_max"])
+    return out
+
+
+def test_group_ids_basic():
+    keys = jnp.asarray(np.array([5, 3, 5, 7, 3, 3, 9], dtype=np.int64))
+    gid, uniq, count, overflow = group_ids(keys, max_groups=16)
+    gid = np.asarray(gid)
+    assert int(count) == 4
+    assert not bool(overflow)
+    # same key ⇒ same id; different ⇒ different
+    assert gid[0] == gid[2]
+    assert gid[1] == gid[4] == gid[5]
+    assert len({gid[0], gid[1], gid[3], gid[6]}) == 4
+    uniq = np.asarray(uniq)[:4]
+    assert set(uniq.tolist()) == {5, 3, 7, 9}
+    # uniq[gid] reconstructs keys
+    np.testing.assert_array_equal(np.asarray(uniq)[gid], np.asarray(keys))
+
+
+def test_group_ids_overflow():
+    keys = jnp.asarray(np.arange(100, dtype=np.int64))
+    gid, uniq, count, overflow = group_ids(keys, max_groups=8,
+                                           table_factor=1)
+    # 100 distinct keys into an 8-slot table must overflow
+    assert bool(overflow)
+
+
+def test_group_ids_many_collisions():
+    # keys engineered to collide: multiples of table size
+    T = 64
+    keys = jnp.asarray((np.arange(32, dtype=np.int64) * 1) % 16)
+    gid, uniq, count, overflow = group_ids(keys, max_groups=16)
+    assert int(count) == 16
+    assert not bool(overflow)
+
+
+@pytest.mark.parametrize("nulls", [False, True])
+def test_hash_aggregate_vs_arrow_int(nulls):
+    rng = np.random.default_rng(42)
+    n = 5000
+    keys = rng.integers(0, 64, size=n).astype(np.int64)
+    vals = rng.integers(-100, 100, size=n).astype(np.int64)
+    key_null = (rng.random(n) < 0.1) if nulls else None
+    val_null = (rng.random(n) < 0.1) if nulls else None
+
+    res = hash_aggregate(
+        jnp.asarray(keys),
+        [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")],
+        {"v": (jnp.asarray(vals),
+               None if val_null is None else jnp.asarray(~val_null))},
+        key_valid=None if key_null is None else jnp.asarray(~key_null),
+        max_groups=128)
+    assert not bool(res["overflow"])
+    gcount = int(res["group_count"])
+    got_keys = np.asarray(res["keys"])[:gcount]
+    null_flags = np.asarray(res["key_is_null"])[:gcount]
+    sums = np.asarray(res["agg:v:sum"])[:gcount]
+    counts = np.asarray(res["agg:v:count"])[:gcount]
+    mins = np.asarray(res["agg:v:min"])[:gcount]
+    maxs = np.asarray(res["agg:v:max"])[:gcount]
+
+    oracle = _oracle_agg(keys, vals, key_null, val_null)
+    assert gcount == len(oracle)
+    for i in range(gcount):
+        k = None if null_flags[i] else int(got_keys[i])
+        osum, ocount, omin, omax = oracle[k]
+        assert counts[i] == ocount, (k, counts[i], ocount)
+        assert sums[i] == (osum if osum is not None else 0), k
+        if ocount > 0:
+            assert mins[i] == omin, k
+            assert maxs[i] == omax, k
+
+
+def test_hash_aggregate_float_sum_close():
+    rng = np.random.default_rng(7)
+    n = 20000
+    keys = rng.integers(0, 16, size=n).astype(np.int64)
+    vals = rng.random(n)
+    res = hash_aggregate(jnp.asarray(keys), [("v", "sum"), ("v", "mean")],
+                         {"v": (jnp.asarray(vals), None)}, max_groups=32)
+    gcount = int(res["group_count"])
+    got_keys = np.asarray(res["keys"])[:gcount]
+    sums = np.asarray(res["agg:v:sum"])[:gcount]
+    means = np.asarray(res["agg:v:mean"])[:gcount]
+    for i, k in enumerate(got_keys):
+        sel = vals[keys == k]
+        np.testing.assert_allclose(sums[i], sel.sum(), rtol=1e-12)
+        np.testing.assert_allclose(means[i], sel.mean(), rtol=1e-12)
+
+
+def test_hash_aggregate_traceable():
+    import jax
+
+    keys = jnp.asarray(np.array([1, 2, 1, 3], dtype=np.int64))
+    vals = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0]))
+
+    @jax.jit
+    def f(k, v):
+        return hash_aggregate(k, [("v", "sum")], {"v": (v, None)},
+                              max_groups=8)
+
+    res = f(keys, vals)
+    assert int(res["group_count"]) == 3
