@@ -150,10 +150,8 @@ def _np_from_arrow(arr) -> Tuple[np.ndarray, np.ndarray, Optional[object]]:
         vals = np.asarray(arr.fill_null(False))
         return vals, validity, None
     if pa.types.is_decimal(t):
-        # decode to (hi, lo) int64 limbs
-        ints = [0 if v is None else int(v.as_py().scaleb(0).to_integral_value())
-                for v in arr]  # placeholder; decimal path refined in decimal.py
-        raise NotImplementedError("use decimal.from_arrow for decimal columns")
+        # handled by column_from_arrow's decimal path (needs two limbs)
+        raise AssertionError("decimal arrays route through _decimal_limbs")
     # numeric / temporal: zero-fill nulls then view as numpy
     zero = pa.scalar(0, type=t) if not pa.types.is_floating(t) else pa.scalar(0.0, type=t)
     try:
@@ -168,11 +166,44 @@ def _np_from_arrow(arr) -> Tuple[np.ndarray, np.ndarray, Optional[object]]:
     return vals, validity, None
 
 
+def _decimal_limbs(arr):
+    """pyarrow decimal128 array → (lo int64, hi int64, validity bool).
+    The arrow buffer is 16-byte little-endian two's complement per value."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    validity = np.ones(n, dtype=bool)
+    if arr.null_count:
+        validity = np.asarray(pc.is_valid(arr))
+    buf = arr.buffers()[1]
+    raw = np.frombuffer(buf, dtype=np.int64,
+                        count=2 * (n + arr.offset))[2 * arr.offset:]
+    pairs = raw.reshape(n, 2)
+    lo = pairs[:, 0].copy()
+    hi = pairs[:, 1].copy()
+    lo[~validity] = 0
+    hi[~validity] = 0
+    return lo, hi, validity
+
+
 def column_from_arrow(arr, pad_to: Optional[int] = None) -> Column:
     """Convert a pyarrow Array/ChunkedArray into a device Column."""
     import pyarrow as pa
 
     logical = dt.from_arrow(arr.type)
+    if logical.is_decimal:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lo, hi, validity = _decimal_limbs(arr)
+        n = len(lo)
+        cap = pad_to if pad_to is not None else padded_length(n)
+        plo = np.zeros(cap, dtype=np.int64)
+        phi = np.zeros(cap, dtype=np.int64)
+        pm = np.zeros(cap, dtype=bool)
+        plo[:n], phi[:n], pm[:n] = lo, hi, validity
+        return Column(jnp.asarray(plo), jnp.asarray(pm), logical,
+                      extra=jnp.asarray(phi))
     vals, validity, dictionary = _np_from_arrow(arr)
     n = len(vals)
     cap = pad_to if pad_to is not None else padded_length(n)
@@ -224,6 +255,20 @@ def column_to_arrow(col: Column, length: int):
 
     vals = np.asarray(jax.device_get(col.data))[:length]
     mask = ~np.asarray(jax.device_get(col.validity))[:length]  # True ⇒ null
+
+    if col.dtype.is_decimal:
+        hi = np.asarray(jax.device_get(col.extra))[:length]
+        pairs = np.empty((length, 2), dtype=np.int64)
+        pairs[:, 0] = vals
+        pairs[:, 1] = hi
+        data_buf = pa.py_buffer(np.ascontiguousarray(pairs).tobytes())
+        if mask.any():
+            validity_buf = pa.array(~mask).buffers()[1]
+        else:
+            validity_buf = None
+        return pa.Array.from_buffers(dt.to_arrow(col.dtype), length,
+                                     [validity_buf, data_buf],
+                                     null_count=int(mask.sum()))
 
     if col.dtype.is_varlen:
         codes = pa.array(vals.astype(np.int32), mask=mask, type=pa.int32())

@@ -125,9 +125,21 @@ class ExprDecomposer:
     def _literal(self, node: LiteralNode) -> Val:
         d = node.dtype
         if node.value is None:
+            if d.is_decimal:
+                z = jnp.zeros((), dtype=jnp.int64)
+                return Val((z, z), jnp.zeros((self.ctx.capacity,), dtype=bool),
+                           d, literal=None, is_literal=True)
             zero = jnp.zeros((), dtype=d.np_dtype)
             return Val(zero, jnp.zeros((self.ctx.capacity,), dtype=bool), d,
                        literal=None, is_literal=True)
+        if d.is_decimal:
+            unscaled = int(node.value)
+            hi = unscaled >> 64
+            lo = unscaled & 0xFFFF_FFFF_FFFF_FFFF
+            if lo >= 1 << 63:
+                lo -= 1 << 64
+            return Val((jnp.int64(hi), jnp.int64(lo)), None, d,
+                       literal=node.value, is_literal=True)
         if d.is_varlen:
             # device value filled in lazily by consumers via dictionary
             # tables; carry the python literal.
@@ -149,20 +161,28 @@ class ExprDecomposer:
 
     def _function(self, node: FunctionNode) -> Val:
         args = [self.decompose(a) for a in node.args]
-        fn = self.registry.lookup_or_raise(node.name,
-                                           [a.dtype for a in args])
-        if fn.signature.return_type != node.dtype:
+        arg_types = [a.dtype for a in args]
+        from ..registry import decimal_ops
+        decimal_ops.ensure_registered(arg_types)
+        fn = self.registry.lookup_or_raise(node.name, arg_types)
+        rt = fn.signature.return_type
+        if rt is not None and rt != node.dtype:
             raise ExpressionValidationError(
-                f"function {node.name} returns {fn.signature.return_type}, "
+                f"function {node.name} returns {rt}, "
                 f"tree declares {node.dtype}")
         out = fn.impl(self.ctx, args)
         if isinstance(out, Val):
+            if (fn.nullability is Nullability.NULL_IF_NULL
+                    and out.validity is None):
+                # impls returning a bare-validity Val still obey the default
+                # null-if-null rule (e.g. decimal kernels)
+                out.validity = _and_validity([a.validity for a in args])
             return out
         if fn.nullability is Nullability.NULL_IF_NULL:
             validity = _and_validity([a.validity for a in args])
         else:
             validity = None
-        return Val(out, validity, fn.signature.return_type)
+        return Val(out, validity, rt if rt is not None else node.dtype)
 
     def _if(self, node: IfNode) -> Val:
         cond = self.decompose(node.condition)
@@ -177,7 +197,11 @@ class ExprDecomposer:
         sel = cond.value
         if cond.validity is not None:
             sel = jnp.logical_and(sel, cond.validity)
-        value = jnp.where(sel, then_v.value, else_v.value)
+        if isinstance(then_v.value, tuple):  # decimal limb pairs
+            value = tuple(jnp.where(sel, t, e)
+                          for t, e in zip(then_v.value, else_v.value))
+        else:
+            value = jnp.where(sel, then_v.value, else_v.value)
         if then_v.validity is None and else_v.validity is None:
             validity = None
         else:

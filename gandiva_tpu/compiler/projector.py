@@ -108,15 +108,20 @@ class _CompiledPlan:
         row_ok = jnp.arange(idx.shape[0]) < sel_count
         gathered = {}
         for name, (data, validity) in cols.items():
-            g = gather32(jnp.asarray(data), idx)
+            if isinstance(data, tuple):
+                g = tuple(gather32(jnp.asarray(d), idx) for d in data)
+            else:
+                g = gather32(jnp.asarray(data), idx)
             gv = jnp.asarray(validity)[idx] & row_ok
             gathered[name] = (g, gv)
         return self._run(gathered, sel_count, tables, rng_key)
 
     @staticmethod
     def _capacity_of(cols) -> int:
-        first = next(iter(cols.values()))
-        return int(first[0].shape[0])
+        first = next(iter(cols.values()))[0]
+        if isinstance(first, tuple):  # decimal limb pair
+            first = first[0]
+        return int(first.shape[0])
 
     # ---- evaluate-time host machinery ---------------------------------
     def _cols_of(self, batch: Batch):
@@ -124,16 +129,18 @@ class _CompiledPlan:
         for f in self.schema:
             if f.name in batch.columns:
                 c = batch.column(f.name)
-                cols[f.name] = (c.data, c.validity)
+                if f.dtype.is_decimal:
+                    cols[f.name] = ((c.extra, c.data), c.validity)  # (hi, lo)
+                else:
+                    cols[f.name] = (c.data, c.validity)
         return cols
 
     def _discover(self, batch: Batch):
         """Zero-compute abstract pass to collect host-table thunks and
         output dictionary thunks."""
         cols = self._cols_of(batch)
-        abstract = {n: (jax.ShapeDtypeStruct(d.shape, d.dtype),
-                        jax.ShapeDtypeStruct(v.shape, v.dtype))
-                    for n, (d, v) in cols.items()}
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), cols)
         capacity = batch.capacity
         holder: Dict[str, Any] = {}
 
@@ -206,10 +213,16 @@ class Projector(_CompiledPlan):
 
     def _finish(self, ctx: TraceContext, outs: List[Val]):
         cap = ctx.capacity
+
+        def bcast(x):
+            return jnp.broadcast_to(x, (cap,)) if x.ndim == 0 else x
+
         res = []
         for v in outs:
-            value = jnp.broadcast_to(v.value, (cap,)) \
-                if v.value is not None and v.value.ndim == 0 else v.value
+            if isinstance(v.value, tuple):
+                value = tuple(bcast(x) for x in v.value)
+            else:
+                value = bcast(v.value) if v.value is not None else v.value
             validity = v.validity if v.validity is not None \
                 else jnp.ones((cap,), dtype=bool)
             validity = jnp.broadcast_to(validity, (cap,))
@@ -235,8 +248,13 @@ class Projector(_CompiledPlan):
         for e, (value, validity), dthunk in zip(
                 self.exprs, outs, self._out_dict_thunks):
             dictionary = dthunk(batch) if dthunk is not None else None
-            out_cols[e.result_field.name] = Column(
-                value, validity, e.result_field.dtype, dictionary=dictionary)
+            if isinstance(value, tuple):  # decimal: (hi, lo) limbs
+                hi, lo = value
+                col = Column(lo, validity, e.result_field.dtype, extra=hi)
+            else:
+                col = Column(value, validity, e.result_field.dtype,
+                             dictionary=dictionary)
+            out_cols[e.result_field.name] = col
         return Batch(out_cols, length)
 
     def evaluate(self, batch, selection: Optional[SelectionVector] = None):
@@ -348,10 +366,12 @@ class FilterProject(_CompiledPlan):
         cap = ctx.capacity
         payload = []
         for v in outs[1:]:
-            value = jnp.broadcast_to(v.value, (cap,))
+            vals = v.value if isinstance(v.value, tuple) else (v.value,)
+            for x in vals:
+                payload.append(jnp.broadcast_to(x, (cap,)))
             validity = jnp.ones((cap,), dtype=bool) if v.validity is None \
                 else jnp.broadcast_to(v.validity, (cap,))
-            payload.extend([value, validity])
+            payload.append(validity)
         idx, count, packed = compact_sort(mask, payload)
         return idx, count, packed
 
@@ -366,8 +386,16 @@ class FilterProject(_CompiledPlan):
                                        self._next_key())
         length = int(jax.device_get(count))
         out_cols = {}
+        pos = 0
         for i, e in enumerate(self.exprs):
-            value, validity = packed[2 * i], packed[2 * i + 1]
+            if e.result_field.dtype.is_decimal:
+                hi, lo, validity = packed[pos], packed[pos + 1], packed[pos + 2]
+                pos += 3
+                out_cols[e.result_field.name] = Column(
+                    lo, validity, e.result_field.dtype, extra=hi)
+                continue
+            value, validity = packed[pos], packed[pos + 1]
+            pos += 2
             dthunk = self._out_dict_thunks[i + 1]
             dictionary = dthunk(batch) if dthunk is not None else None
             out_cols[e.result_field.name] = Column(

@@ -33,10 +33,13 @@ def validate(node: Node, schema: dt.Schema) -> dt.DataType:
 
     if isinstance(node, FunctionNode):
         arg_types = [validate(a, schema) for a in node.args]
+        from ..registry import decimal_ops
+        decimal_ops.ensure_registered(arg_types)
         fn = global_registry().lookup_or_raise(node.name, arg_types)
-        if fn.signature.return_type != node.dtype:
+        rt = fn.signature.return_type
+        if rt is not None and rt != node.dtype:
             raise ExpressionValidationError(
-                f"Function {node.name} returns {fn.signature.return_type}, "
+                f"Function {node.name} returns {rt}, "
                 f"but the expression declares {node.dtype}")
         return node.dtype
 

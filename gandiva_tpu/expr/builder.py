@@ -119,6 +119,16 @@ class TreeExprBuilder:
         return TreeExprBuilder.make_literal(v, dt.binary)
 
     @staticmethod
+    def make_decimal_literal(value, precision: int, scale: int) -> LiteralNode:
+        """Decimal literal; ``value`` is a str/Decimal/int interpreted at the
+        given scale (mirrors gandiva's DecimalScalar128 literal)."""
+        import decimal as _d
+
+        d = _d.Decimal(str(value))
+        unscaled = int(d.scaleb(scale).to_integral_value(rounding=_d.ROUND_HALF_UP))
+        return LiteralNode(unscaled, dt.decimal128(precision, scale))
+
+    @staticmethod
     def make_null(dtype: dt.DataType) -> LiteralNode:
         _require(isinstance(dtype, dt.DataType), "expected DataType")
         return LiteralNode(None, dtype)

@@ -1,0 +1,315 @@
+"""Decimal128 kernels with Java-BigDecimal-compatible result-type rules.
+
+Reference: gandiva's decimal subsystem (decimal_ir.cc, decimal_type_util.cc,
+precompiled/decimal_ops.cc — SURVEY.md §2a#12): 128-bit scaled-integer
+arithmetic whose result precision/scale follow Java's rules, with scale
+reduction when precision would exceed 38.
+
+TPU representation: a decimal column is a pair of int64 limb arrays
+(``Val.value = (hi, lo)``), all arithmetic via utils/int128 (64-bit ops
+emulated on 32-bit lanes; no 128-bit types, no 64-bit bitcasts). The
+reference's ``decimal_xlarge`` path (256-bit intermediates when BOTH
+multiply operands exceed 18 digits) is not implemented — such plans raise at
+compile time (documented gap; the common TPC-H-style decimal(12,2) columns
+stay on the fast path).
+
+Division/scale-reduction rounding is half-away-from-zero, matching Gandiva.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from .. import dtypes as dt
+from ..utils import int128 as i128
+from .registry import (ExpressionValidationError, Nullability, Val,
+                       global_registry)
+
+_R = global_registry()
+
+MAX_PRECISION = 38
+MIN_ADJUSTED_SCALE = 6
+
+
+# ---------------------------------------------------------------------------
+# result-type rules (gandiva decimal_type_util.cc)
+# ---------------------------------------------------------------------------
+
+def _adjust(precision: int, scale: int) -> Tuple[int, int]:
+    if precision <= MAX_PRECISION:
+        return precision, scale
+    if scale > MIN_ADJUSTED_SCALE:
+        drop = precision - MAX_PRECISION
+        scale = max(scale - drop, MIN_ADJUSTED_SCALE)
+    return MAX_PRECISION, scale
+
+
+def result_type(op: str, t1: dt.DataType, t2: dt.DataType) -> dt.DataType:
+    p1, s1, p2, s2 = t1.precision, t1.scale, t2.precision, t2.scale
+    if op in ("add", "subtract"):
+        scale = max(s1, s2)
+        precision = max(p1 - s1, p2 - s2) + scale + 1
+    elif op == "multiply":
+        scale = s1 + s2
+        precision = p1 + p2 + 1
+    elif op == "divide":
+        scale = max(MIN_ADJUSTED_SCALE, s1 + p2 + 1)
+        precision = p1 - s1 + s2 + scale
+    elif op == "mod":
+        scale = max(s1, s2)
+        precision = min(p1 - s1, p2 - s2) + scale
+    else:
+        raise ValueError(op)
+    precision, scale = _adjust(precision, scale)
+    return dt.decimal128(precision, scale)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _limbs(v: Val):
+    hi, lo = v.value
+    return hi, lo
+
+
+def _rescale(hi, lo, from_scale: int, to_scale: int):
+    if to_scale == from_scale:
+        return hi, lo
+    if to_scale > from_scale:
+        return i128.mul_pow10(hi, lo, to_scale - from_scale)
+    return i128.div_pow10_round(hi, lo, from_scale - to_scale)
+
+
+def _fits_int64(t: dt.DataType) -> bool:
+    return t.precision <= 18
+
+
+def _decimal_val(hi, lo, out_t: dt.DataType) -> Val:
+    return Val((hi, lo), None, out_t)
+
+
+# ---------------------------------------------------------------------------
+# arithmetic
+# ---------------------------------------------------------------------------
+
+def _addsub(sub: bool):
+    def impl(ctx, args):
+        a, b = args
+        out_t = result_type("subtract" if sub else "add", a.dtype, b.dtype)
+        ah, al = _rescale(*_limbs(a), a.dtype.scale, out_t.scale)
+        bh, bl = _rescale(*_limbs(b), b.dtype.scale, out_t.scale)
+        if sub:
+            hi, lo = i128.sub128(ah, al, bh, bl)
+        else:
+            hi, lo = i128.add128(ah, al, bh, bl)
+        return _decimal_val(hi, lo, out_t)
+
+    return impl
+
+
+def _multiply(ctx, args):
+    a, b = args
+    out_t = result_type("multiply", a.dtype, b.dtype)
+    raw_scale = a.dtype.scale + b.dtype.scale
+    if _fits_int64(a.dtype) and _fits_int64(b.dtype):
+        hi, lo = i128.mul_i64(a.value[1], b.value[1])
+    elif _fits_int64(b.dtype):
+        hi, lo = i128.mul128_i64(*_limbs(a), b.value[1])
+    elif _fits_int64(a.dtype):
+        hi, lo = i128.mul128_i64(*_limbs(b), a.value[1])
+    else:
+        raise ExpressionValidationError(
+            "decimal multiply with both operands wider than 18 digits "
+            "requires 256-bit intermediates (decimal_xlarge) — unsupported")
+    hi, lo = _rescale(hi, lo, raw_scale, out_t.scale)
+    return _decimal_val(hi, lo, out_t)
+
+
+def _divide(ctx, args):
+    a, b = args
+    out_t = result_type("divide", a.dtype, b.dtype)
+    # scale dividend so quotient lands on out_t.scale:
+    # q_scale = s1 + delta - s2 == out.scale  ⇒  delta = out.scale+s2-s1
+    delta = out_t.scale + b.dtype.scale - a.dtype.scale
+    ah, al = _limbs(a)
+    bh, bl = _limbs(b)
+    xh, xl = i128.mul_pow10(ah, al, max(delta, 0))
+    if delta < 0:
+        xh, xl = i128.div_pow10_round(xh, xl, -delta)
+    # guard divide-by-zero: quotient 0 (engine divergence note in numeric.py)
+    zero_div = (bh == 0) & (bl == 0)
+    safe_bl = jnp.where(zero_div, jnp.ones_like(bl), bl)
+    qh, ql, rh, rl = i128.divmod128(xh, xl, bh, safe_bl)
+    # round half away from zero: |r|*2 >= |b| → bump toward sign
+    arh, arl = i128.abs128(rh, rl)
+    r2h, r2l = i128.shl128(arh, arl, 1)
+    abh, abl = i128.abs128(bh, safe_bl)
+    bump = i128.cmp128(r2h, r2l, abh, abl) >= 0
+    sign_neg = jnp.logical_xor(i128.is_neg(ah, al), i128.is_neg(bh, bl))
+    one = jnp.ones_like(ql)
+    zero = jnp.zeros_like(ql)
+    inc_lo = jnp.where(bump, one, zero)
+    qh2, ql2 = i128.add128(qh, ql, zero, inc_lo)
+    qh3, ql3 = i128.sub128(qh, ql, zero, inc_lo)
+    qh = jnp.where(bump, jnp.where(sign_neg, qh3, qh2), qh)
+    ql = jnp.where(bump, jnp.where(sign_neg, ql3, ql2), ql)
+    qh = jnp.where(zero_div, zero, qh)
+    ql = jnp.where(zero_div, zero, ql)
+    return _decimal_val(qh, ql, out_t)
+
+
+def _mod(ctx, args):
+    a, b = args
+    out_t = result_type("mod", a.dtype, b.dtype)
+    ah, al = _rescale(*_limbs(a), a.dtype.scale, out_t.scale)
+    bh, bl = _rescale(*_limbs(b), b.dtype.scale, out_t.scale)
+    zero_div = (bh == 0) & (bl == 0)
+    safe_bl = jnp.where(zero_div, jnp.ones_like(bl), bl)
+    _, _, rh, rl = i128.divmod128(ah, al, bh, safe_bl)
+    rh = jnp.where(zero_div, jnp.zeros_like(rh), rh)
+    rl = jnp.where(zero_div, jnp.zeros_like(rl), rl)
+    return _decimal_val(rh, rl, out_t)
+
+
+def _abs_impl(ctx, args):
+    a = args[0]
+    hi, lo = i128.abs128(*_limbs(a))
+    return _decimal_val(hi, lo, a.dtype)
+
+
+def _negative(ctx, args):
+    a = args[0]
+    hi, lo = i128.neg128(*_limbs(a))
+    return _decimal_val(hi, lo, a.dtype)
+
+
+def _cmp_impl(op):
+    def impl(ctx, args):
+        a, b = args
+        scale = max(a.dtype.scale, b.dtype.scale)
+        ah, al = _rescale(*_limbs(a), a.dtype.scale, scale)
+        bh, bl = _rescale(*_limbs(b), b.dtype.scale, scale)
+        c = i128.cmp128(ah, al, bh, bl)
+        return op(c)
+
+    return impl
+
+
+def _round_family(kind: str):
+    """ceil/floor/round/truncate to scale 0 (gandiva variants with an
+    explicit target scale are registered separately)."""
+
+    def impl(ctx, args, target_scale=0):
+        a = args[0]
+        s = a.dtype.scale
+        if len(args) == 2:
+            if not args[1].is_literal:
+                raise ExpressionValidationError(
+                    f"{kind} scale argument must be a literal")
+            target_scale = int(args[1].literal)
+        out_t = dt.decimal128(a.dtype.precision, max(target_scale, 0)) \
+            if kind in ("round", "truncate") else \
+            dt.decimal128(a.dtype.precision, max(target_scale, 0))
+        hi, lo = _limbs(a)
+        k = s - out_t.scale
+        if k <= 0:
+            hi2, lo2 = _rescale(hi, lo, s, out_t.scale)
+            return _decimal_val(hi2, lo2, out_t)
+        if kind == "round":
+            hi2, lo2 = i128.div_pow10_round(hi, lo, k)
+        else:
+            ph, pl = i128.pow10_128(k)
+            phj = jnp.full_like(hi, ph)
+            plj = jnp.full_like(lo, pl)
+            qh, ql, rh, rl = i128.divmod128(hi, lo, phj, plj)
+            if kind == "truncate":
+                hi2, lo2 = qh, ql
+            elif kind == "ceiling":
+                has_r = (rh != 0) | (rl != 0)
+                pos = ~i128.is_neg(hi, lo)
+                bump = (has_r & pos).astype(jnp.int64)
+                hi2, lo2 = i128.add128(qh, ql, jnp.zeros_like(qh), bump)
+            else:  # floor
+                has_r = (rh != 0) | (rl != 0)
+                neg = i128.is_neg(hi, lo)
+                bump = (has_r & neg).astype(jnp.int64)
+                hi2, lo2 = i128.sub128(qh, ql, jnp.zeros_like(qh), bump)
+        return _decimal_val(hi2, lo2, out_t)
+
+    return impl
+
+
+def _cast_bigint(ctx, args):
+    a = args[0]
+    hi, lo = i128.div_pow10_round(*_limbs(a), a.dtype.scale)
+    return Val(i128.to_int64(hi, lo), None, dt.int64)
+
+
+def _cast_float8(ctx, args):
+    a = args[0]
+    f = i128.to_float64(*_limbs(a))
+    return Val(f / (10.0 ** a.dtype.scale), None, dt.float64)
+
+
+def register_decimal_for(t1: dt.DataType, t2: dt.DataType):
+    """Decimal signatures are parameterized by (precision, scale), so they
+    register on demand per concrete type pair (the validator calls this
+    before lookup)."""
+    reg = _R
+    for name, impl, rt in [
+        ("add", _addsub(False), result_type("add", t1, t2)),
+        ("subtract", _addsub(True), result_type("subtract", t1, t2)),
+        ("multiply", _multiply, result_type("multiply", t1, t2)),
+        ("divide", _divide, result_type("divide", t1, t2)),
+        ("mod", _mod, result_type("mod", t1, t2)),
+    ]:
+        if reg.lookup(name, [t1, t2]) is None:
+            reg.register(name, [t1, t2], rt, impl)
+    for name, op in [
+        ("equal", lambda c: c == 0), ("not_equal", lambda c: c != 0),
+        ("less_than", lambda c: c < 0),
+        ("less_than_or_equal_to", lambda c: c <= 0),
+        ("greater_than", lambda c: c > 0),
+        ("greater_than_or_equal_to", lambda c: c >= 0),
+    ]:
+        if reg.lookup(name, [t1, t2]) is None:
+            reg.register(name, [t1, t2], dt.bool_, _cmp_impl(op))
+
+
+def register_decimal_unary(t: dt.DataType):
+    reg = _R
+    specs = [
+        ("abs", _abs_impl, t),
+        ("negative", _negative, t),
+        ("castBIGINT", _cast_bigint, dt.int64),
+        ("castFLOAT8", _cast_float8, dt.float64),
+        ("ceiling", _round_family("ceiling"), dt.decimal128(t.precision, 0)),
+        ("floor", _round_family("floor"), dt.decimal128(t.precision, 0)),
+        ("round", _round_family("round"), dt.decimal128(t.precision, 0)),
+        ("truncate", _round_family("truncate"),
+         dt.decimal128(t.precision, 0)),
+    ]
+    for name, impl, rt in specs:
+        if reg.lookup(name, [t]) is None:
+            reg.register(name, [t], rt, impl)
+    for name in ("round", "truncate"):
+        if reg.lookup(name, [t, dt.int32]) is None:
+            # target scale given as literal; return type keeps precision
+            reg.register(name, [t, dt.int32], t, _round_family(name))
+
+
+def ensure_registered(arg_types):
+    """On-demand registration: decimal signatures are parameterized by
+    (precision, scale), so the registry fills in concrete entries the first
+    time a type combination is validated (called from the validator)."""
+    decs = [t for t in arg_types if isinstance(t, dt.DataType) and t.is_decimal]
+    if not decs:
+        return
+    for t in decs:
+        register_decimal_unary(t)
+    if len(arg_types) == 2 and all(
+            isinstance(t, dt.DataType) and t.is_decimal for t in arg_types):
+        register_decimal_for(arg_types[0], arg_types[1])

@@ -79,7 +79,7 @@ class FunctionRegistry:
 
     # -- registration ------------------------------------------------------
     def register(self, name: str, param_types: Sequence[dt.DataType],
-                 return_type: dt.DataType, impl: Callable,
+                 return_type, impl: Callable,
                  nullability: Nullability = Nullability.NULL_IF_NULL,
                  aliases: Sequence[str] = ()):
         sig = FunctionSignature(name, tuple(param_types), return_type)

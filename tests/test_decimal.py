@@ -1,0 +1,182 @@
+"""Decimal128 tests — int128 limb math vs python ints; end-to-end decimal
+expressions vs python Decimal (exact oracle)."""
+import decimal as pydec
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import jax.numpy as jnp
+
+import gandiva_tpu as g
+from gandiva_tpu import dtypes as dt
+from gandiva_tpu.utils import int128 as i128
+
+B = g.TreeExprBuilder
+
+
+def _to_limbs(vals):
+    hi = np.array([v >> 64 for v in vals], dtype=object)
+    lo = np.array([v & 0xFFFF_FFFF_FFFF_FFFF for v in vals], dtype=object)
+    lo = np.array([x - (1 << 64) if x >= (1 << 63) else x for x in lo],
+                  dtype=np.int64)
+    hi = hi.astype(np.int64)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _from_limbs(hi, lo):
+    hi = np.asarray(hi).astype(object)
+    lo = np.asarray(lo).astype(object)
+    return [int(h) * (1 << 64) + (int(l) & 0xFFFF_FFFF_FFFF_FFFF)
+            for h, l in zip(hi, lo)]
+
+
+CASES = [0, 1, -1, 7, -7, 10 ** 18, -(10 ** 18), 10 ** 37, -(10 ** 37),
+         123456789012345678901234567890, -999999999999999999999999]
+
+
+def test_int128_roundtrip_add_sub():
+    rng = np.random.default_rng(0)
+    a = CASES + [int(x) for x in rng.integers(-10**17, 10**17, 20)]
+    b = list(reversed(a))
+    ah, al = _to_limbs(a)
+    bh, bl = _to_limbs(b)
+    sh, sl = i128.add128(ah, al, bh, bl)
+    assert _from_limbs(sh, sl) == [_wrap128(x + y) for x, y in zip(a, b)]
+    dh, dl = i128.sub128(ah, al, bh, bl)
+    assert _from_limbs(dh, dl) == [_wrap128(x - y) for x, y in zip(a, b)]
+
+
+def _wrap128(v):
+    v &= (1 << 128) - 1
+    if v >= 1 << 127:
+        v -= 1 << 128
+    return v
+
+
+def test_int128_mul():
+    rng = np.random.default_rng(1)
+    a = [int(x) for x in rng.integers(-10**17, 10**17, 30)]
+    b = [int(x) for x in rng.integers(-10**17, 10**17, 30)]
+    hi, lo = i128.mul_i64(jnp.asarray(np.array(a, dtype=np.int64)),
+                          jnp.asarray(np.array(b, dtype=np.int64)))
+    assert _from_limbs(hi, lo) == [x * y for x, y in zip(a, b)]
+
+
+def test_int128_divmod():
+    rng = np.random.default_rng(2)
+    a = [int(x) for x in rng.integers(-10**17, 10**17, 10)] \
+        + [10 ** 30, -(10 ** 30), 12345678901234567890123456789]
+    b = [int(x) for x in rng.integers(1, 10**12, 10)] + [997, 10 ** 15, -7]
+    ah, al = _to_limbs(a)
+    bh, bl = _to_limbs(b)
+    qh, ql, rh, rl = i128.divmod128(ah, al, bh, bl)
+    qs = _from_limbs(qh, ql)
+    rs = _from_limbs(rh, rl)
+    for x, y, q, r in zip(a, b, qs, rs):
+        eq = int(x / y) if abs(x) < 2**52 and abs(y) < 2**52 else \
+            (abs(x) // abs(y)) * (1 if (x >= 0) == (y >= 0) else -1)
+        er = x - eq * y
+        assert q == eq, (x, y, q, eq)
+        assert r == er, (x, y, r, er)
+
+
+def test_int128_pow10():
+    a = [3, -3, 123456, -987654]
+    ah, al = _to_limbs(a)
+    hi, lo = i128.mul_pow10(ah, al, 20)
+    assert _from_limbs(hi, lo) == [x * 10 ** 20 for x in a]
+    # rounded division: half away from zero
+    v = [15, 25, -15, -25, 14, -14]
+    vh, vl = _to_limbs(v)
+    hi, lo = i128.div_pow10_round(vh, vl, 1)
+    assert _from_limbs(hi, lo) == [2, 3, -2, -3, 1, -1]
+
+
+def _dec_batch(strs, precision, scale, name="d"):
+    arr = pa.array([None if s is None else pydec.Decimal(s) for s in strs],
+                   type=pa.decimal128(precision, scale))
+    return pa.RecordBatch.from_arrays([arr], names=[name])
+
+
+def test_decimal_projector_add():
+    t = dt.decimal128(12, 2)
+    schema = dt.Schema([dt.Field("d", t)])
+    nd = B.make_field(schema.field("d"))
+    lit = B.make_decimal_literal("1.25", 12, 2)
+    from gandiva_tpu.registry.decimal_ops import result_type
+    rt = result_type("add", t, t)
+    expr = B.make_expression(B.make_function("add", [nd, lit], rt),
+                             dt.Field("r", rt))
+    proj = g.make_projector(schema, [expr], use_cache=False)
+    batch = _dec_batch(["10.50", "-3.75", None, "0.01"], 12, 2)
+    (r,) = proj.evaluate(batch)
+    assert r.type == pa.decimal128(rt.precision, rt.scale)
+    assert [None if v is None else str(v) for v in r.to_pylist()] == \
+        ["11.75", "-2.50", None, "1.26"]
+
+
+def test_decimal_multiply_divide():
+    t = dt.decimal128(12, 2)
+    schema = dt.Schema([dt.Field("a", t), dt.Field("b", t)])
+    na, nb = B.make_field(schema.field("a")), B.make_field(schema.field("b"))
+    from gandiva_tpu.registry.decimal_ops import result_type
+    rt_mul = result_type("multiply", t, t)
+    rt_div = result_type("divide", t, t)
+    exprs = [
+        B.make_expression(B.make_function("multiply", [na, nb], rt_mul),
+                          dt.Field("m", rt_mul)),
+        B.make_expression(B.make_function("divide", [na, nb], rt_div),
+                          dt.Field("q", rt_div)),
+    ]
+    proj = g.make_projector(schema, exprs, use_cache=False)
+    a = pa.array([pydec.Decimal("12.34"), pydec.Decimal("-5.00"),
+                  pydec.Decimal("100.00")], type=pa.decimal128(12, 2))
+    b = pa.array([pydec.Decimal("2.00"), pydec.Decimal("3.00"),
+                  pydec.Decimal("7.00")], type=pa.decimal128(12, 2))
+    batch = pa.RecordBatch.from_arrays([a, b], names=["a", "b"])
+    m, q = proj.evaluate(batch)
+    assert [str(v) for v in m.to_pylist()] == ["24.6800", "-15.0000",
+                                               "700.0000"]
+    # divide scale: max(6, 2+12+1)=15 → adjusted to fit 38
+    ctx = pydec.Context(prec=50)
+    for got, (x, y) in zip(q.to_pylist(),
+                           [(pydec.Decimal("12.34"), pydec.Decimal("2.00")),
+                            (pydec.Decimal("-5.00"), pydec.Decimal("3.00")),
+                            (pydec.Decimal("100.00"), pydec.Decimal("7.00"))]):
+        expect = (x / y).quantize(pydec.Decimal(1).scaleb(-q.type.scale),
+                                  rounding=pydec.ROUND_HALF_UP, context=ctx)
+        assert got == expect, (got, expect)
+
+
+def test_decimal_compare_filter():
+    t = dt.decimal128(10, 2)
+    schema = dt.Schema([dt.Field("d", t)])
+    nd = B.make_field(schema.field("d"))
+    lit = B.make_decimal_literal("5.00", 10, 2)
+    cond = B.make_condition(
+        B.make_function("greater_than", [nd, lit], dt.bool_))
+    filt = g.make_filter(schema, cond, use_cache=False)
+    batch = _dec_batch(["4.99", "5.00", "5.01", None, "1000.00"], 10, 2)
+    sel = filt.evaluate(batch)
+    np.testing.assert_array_equal(sel.to_numpy(), [2, 4])
+
+
+def test_decimal_abs_round_cast():
+    t = dt.decimal128(10, 2)
+    schema = dt.Schema([dt.Field("d", t)])
+    nd = B.make_field(schema.field("d"))
+    exprs = [
+        B.make_expression(B.make_function("abs", [nd], t),
+                          dt.Field("a", t)),
+        B.make_expression(B.make_function("castBIGINT", [nd], dt.int64),
+                          dt.Field("i", dt.int64)),
+        B.make_expression(B.make_function("castFLOAT8", [nd], dt.float64),
+                          dt.Field("f", dt.float64)),
+    ]
+    proj = g.make_projector(schema, exprs, use_cache=False)
+    batch = _dec_batch(["-3.50", "2.49", "2.50"], 10, 2)
+    a, i, f = proj.evaluate(batch)
+    assert [str(v) for v in a.to_pylist()] == ["3.50", "2.49", "2.50"]
+    assert i.to_pylist() == [-4, 2, 3]  # round half away from zero
+    np.testing.assert_allclose(np.asarray(f), [-3.5, 2.49, 2.5])
