@@ -135,7 +135,9 @@ def _np_from_arrow(arr) -> Tuple[np.ndarray, np.ndarray, Optional[object]]:
     n = len(arr)
     validity = np.ones(n, dtype=bool)
     if arr.null_count:
-        validity = np.asarray(pc.is_valid(arr))
+        from . import native
+
+        validity = native.unpack_bitmap(arr.buffers()[0], arr.offset, n)
 
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
@@ -175,7 +177,9 @@ def _decimal_limbs(arr):
     n = len(arr)
     validity = np.ones(n, dtype=bool)
     if arr.null_count:
-        validity = np.asarray(pc.is_valid(arr))
+        from . import native
+
+        validity = native.unpack_bitmap(arr.buffers()[0], arr.offset, n)
     buf = arr.buffers()[1]
     raw = np.frombuffer(buf, dtype=np.int64,
                         count=2 * (n + arr.offset))[2 * arr.offset:]

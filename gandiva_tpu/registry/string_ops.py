@@ -415,18 +415,48 @@ def _reg_predicate(name, matcher_factory, extra_types=(dt.string,),
                 aliases=aliases)
 
 
-_reg_predicate(
-    "like",
-    lambda pat: re.compile(sql_like_to_regex(pat), re.DOTALL).fullmatch)
-_reg_predicate(
-    "like",
-    lambda pat, esc: re.compile(sql_like_to_regex(pat, esc),
-                                re.DOTALL).fullmatch,
-    extra_types=[dt.string, dt.string])
-_reg_predicate(
-    "ilike",
-    lambda pat: re.compile(sql_like_to_regex(pat),
-                           re.DOTALL | re.IGNORECASE).fullmatch)
+def _reg_like(name, ignore_case, with_escape=False):
+    """LIKE/ILIKE: native backtracking matcher over the dictionary when the
+    host runtime is loaded (the LikeHolder analogue in C++), python regex
+    fallback otherwise."""
+
+    def impl(ctx, args, _name=name):
+        s = args[0]
+        pat = _require_literal(args[1], _name, "#2")
+        esc = _require_literal(args[2], _name, "#3") if with_escape else None
+        _require_dict(s, _name)
+        dthunk = s.dict_thunk
+
+        def thunk(batch, _dt=dthunk, _pat=pat, _esc=esc):
+            from .. import native
+
+            d = _dt(batch)
+            m = None
+            try:
+                import pyarrow as pa
+                if isinstance(d, pa.Array) and pa.types.is_string(d.type):
+                    m = native.like_match(d, _pat, escape=_esc,
+                                          ignore_case=ignore_case)
+            except Exception:
+                m = None
+            if m is None:
+                flags = re.DOTALL | (re.IGNORECASE if ignore_case else 0)
+                rx = re.compile(sql_like_to_regex(_pat, _esc or "\\"), flags)
+                m = np.array([bool(rx.fullmatch(_str_or(v)))
+                              for v in _dict_list(d)], dtype=bool)
+            return _pad_pow2(np.asarray(m, dtype=bool), False)
+
+        table = ctx.add_table(thunk)
+        codes = jnp.clip(s.value, 0, table.shape[0] - 1)
+        return table[codes]
+
+    types = [dt.string, dt.string] + ([dt.string] if with_escape else [])
+    _R.register(name, types, dt.bool_, impl)
+
+
+_reg_like("like", ignore_case=False)
+_reg_like("like", ignore_case=False, with_escape=True)
+_reg_like("ilike", ignore_case=True)
 _reg_predicate("starts_with", lambda pre: lambda v: v.startswith(pre))
 _reg_predicate("ends_with", lambda suf: lambda v: v.endswith(suf))
 _reg_predicate("is_substr", lambda sub: lambda v: sub in v,
