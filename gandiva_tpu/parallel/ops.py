@@ -203,3 +203,125 @@ def dist_sort(keys, key_valid, payload: Dict[str, Tuple], axis: str,
         out_payload[name] = (gather32(v, perm),
                              None if vv is None else vv[perm])
     return (out_keys, out_valid, out_key_null, out_payload, overflow)
+
+
+# ---------------------------------------------------------------------------
+# skew-aware join (BASELINE configs[3]: Zipfian probe keys)
+# ---------------------------------------------------------------------------
+
+def detect_hot_keys(keys, valid, axis: str, num_hot: int,
+                    sample_stride: int = 64, hot_threshold: int = 4):
+    """Sampled global histogram → hot-key table.
+
+    Every shard samples its keys, the samples are all_gathered (identical
+    result on every shard), and keys appearing ≥ hot_threshold times in the
+    global sample are declared hot (SURVEY.md §5.7: the query-engine cousin
+    of load-balanced schedules — detect hot keys, broadcast-join them, salt
+    the rest). Returns (hot_keys[num_hot], hot_valid[num_hot]).
+    """
+    from ..ops.groupby import group_ids
+
+    sample = keys[::sample_stride]
+    svalid = valid[::sample_stride]
+    all_s = lax.all_gather(sample, axis, tiled=True)
+    all_v = lax.all_gather(svalid, axis, tiled=True)
+    gid, uniq, gcount, _ = group_ids(all_s, all_v, max_groups=4 * num_hot)
+    G = 4 * num_hot
+    counts = jnp.zeros((G + 1,), jnp.int32).at[
+        jnp.clip(gid, 0, G)].add(1, mode="drop")[:G]
+    hot = counts >= hot_threshold
+    # take the num_hot hottest (order by count, stable)
+    order = jnp.argsort(-counts, stable=True)[:num_hot]
+    hot_keys = uniq[order]
+    hot_valid = hot[order] & (order < gcount)
+    return hot_keys, hot_valid
+
+
+def _is_in_table(keys, table_keys, table_valid):
+    """Membership of each key in a small key table (broadcast compare)."""
+    eq = keys[:, None] == table_keys[None, :]
+    eq = eq & table_valid[None, :]
+    return eq.any(axis=1)
+
+
+def dist_join_skewed(probe_keys, probe_valid, probe_cols,
+                     build_keys, build_valid, build_cols,
+                     axis: str, probe_capacity: int, build_capacity: int,
+                     out_capacity: int, how: str = "inner",
+                     num_hot: int = 64, hot_replicate_capacity: int = 1024,
+                     seed: int = 0):
+    """Per-shard body: skew-aware inner/semi/left join.
+
+    Hot probe keys (detected from a global sample) do NOT shuffle — their
+    probe rows stay on the origin shard, and the matching build rows are
+    replicated to every shard via all_gather. Cold keys hash-partition as
+    usual. This bounds any shard's receive volume at
+    cold_rows/P + its own hot rows, defusing Zipf skew (north_star:
+    'skew-aware repartitioning').
+    """
+    if how not in ("inner", "semi", "left", "anti"):
+        raise ValueError(f"skewed join supports inner/semi/left/anti, "
+                         f"got {how!r}")
+    P = lax.axis_size(axis)
+    me = lax.axis_index(axis)
+
+    hot_keys, hot_valid = detect_hot_keys(probe_keys, probe_valid, axis,
+                                          num_hot)
+
+    # ---- build side: split hot rows out, replicate them ------------------
+    b_hot = _is_in_table(build_keys, hot_keys, hot_valid) & build_valid
+    from ..ops.compaction import compact_sort
+    bidx, n_bhot, _ = compact_sort(b_hot)
+    cap_h = min(hot_replicate_capacity, build_keys.shape[0])
+    sel = jnp.minimum(bidx[:cap_h].astype(jnp.int32), build_keys.shape[0] - 1)
+    hot_b_keys = build_keys[sel]
+    hot_b_ok = jnp.arange(cap_h) < jnp.minimum(n_bhot, cap_h)
+    hot_overflow = n_bhot > cap_h
+    rep_keys = lax.all_gather(hot_b_keys, axis, tiled=True)      # [P*cap_h]
+    rep_ok = lax.all_gather(hot_b_ok, axis, tiled=True)
+    rep_cols = {}
+    for name, (v, vv) in build_cols.items():
+        from ..utils.bits import gather32
+        g = gather32(v, sel)
+        rep_cols[name] = (
+            jax.tree_util.tree_map(lambda x: lax.all_gather(x, axis,
+                                                            tiled=True),
+                                   g),
+            lax.all_gather(hot_b_ok if vv is None else (vv[sel] & hot_b_ok),
+                           axis, tiled=True))
+
+    # ---- shuffle the cold remainder --------------------------------------
+    p_hot = _is_in_table(probe_keys, hot_keys, hot_valid)
+    part_p = jnp.where(p_hot, me,
+                       partition_of(probe_keys, P, jnp.uint32(seed)))
+    part_b = jnp.where(b_hot, P + 1,  # drop hot build rows from the shuffle
+                       partition_of(build_keys, P, jnp.uint32(seed)))
+    part_b = jnp.where(build_valid, part_b, P + 1).astype(jnp.int32)
+
+    pk, pvalid, pcols, ov1 = _shuffle_cols(
+        probe_keys, probe_valid, probe_cols, axis, probe_capacity,
+        part_ids=part_p, seed=seed)
+    bk, bvalid, bcols, ov2 = _shuffle_cols(
+        build_keys, build_valid & ~b_hot, build_cols, axis, build_capacity,
+        part_ids=partition_of(build_keys, P, jnp.uint32(seed)), seed=seed)
+
+    # ---- local join against shuffled-cold + replicated-hot build ---------
+    all_bk = jnp.concatenate([bk, rep_keys])
+    all_bvalid = jnp.concatenate([bvalid, rep_ok])
+    all_bcols = {}
+    for name in build_cols:
+        v1, vv1 = bcols[name]
+        v2, vv2 = rep_cols[name]
+        all_bcols[name] = (jnp.concatenate([v1, v2]),
+                           jnp.concatenate([
+                               vv1 if vv1 is not None else bvalid, vv2]))
+
+    res = join(pk, all_bk, out_capacity, how,
+               probe_valid=None, build_valid=None,
+               probe_exists=pvalid, build_exists=all_bvalid)
+    out_cols, row_ok = gather_payload(
+        res, probe_cols={**{n: v for n, v in pcols.items()},
+                         "__probe_key": (pk, pvalid)},
+        build_cols=all_bcols)
+    overflow = ov1 | ov2 | res.overflow | hot_overflow
+    return res, out_cols, row_ok, overflow

@@ -1,0 +1,131 @@
+"""Multi-operator distributed pipeline (BASELINE configs[4]).
+
+Composes the engine end-to-end the way Dremio composes Gandiva kernels into
+fragment pipelines (SURVEY.md §3.5): per shard — expression-engine filter →
+skew-aware hash join → hash aggregate → global sort of the (small) group
+results — all inside ONE ``shard_map``-ed jit program, so XLA overlaps the
+all_to_all exchanges with local compute (north_star: 'exchange overlapped
+with compute via async ICI collectives').
+
+Per-operator observability (SURVEY.md §5.5): the step returns a metrics dict
+(rows in/out per operator, shuffle overflow flags) alongside the results —
+the engine's rows/s accounting surface.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sort import SortKey, normalize_key
+from . import mesh as meshmod
+from .ops import dist_hash_aggregate, dist_join_skewed
+
+AXIS = meshmod.PARTITION_AXIS
+
+
+def build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
+                               num_groups: int = 64,
+                               filter_threshold: int = 50,
+                               shuffle_factor: int = 3,
+                               out_factor: int = 4,
+                               num_hot: int = 64,
+                               hot_capacity: int = 2048):
+    """Compile the canonical pipeline over ``mesh``.
+
+    Query shape (TPC-H-flavored):
+        SELECT g.seg, SUM(o.amt), COUNT(*)
+        FROM orders o JOIN dim g ON o.key = g.key
+        WHERE o.amt > threshold
+        GROUP BY g.seg ORDER BY g.seg
+
+    Inputs per shard: orders (key, amt) of nper rows, dim (key, seg) of
+    build_per rows, all sharded over the partition axis. Returns a jitted
+    fn(ok, oa, dk, ds) → (seg_sorted, sums, counts, n_groups, metrics).
+    """
+    probe_cap = shuffle_factor * nper
+    out_cap = out_factor * nper
+    build_cap = max(128, shuffle_factor * build_per)
+    G = num_groups
+
+    def shard_fn(ok_, oa, dk, ds):
+        n = ok_.shape[0]
+        metrics = {}
+        metrics["rows_in"] = jnp.int64(n)
+
+        # 1. filter (expression-engine mask; padding-free inputs here)
+        keep = oa > filter_threshold
+        metrics["filter_out"] = jnp.sum(keep.astype(jnp.int64))
+
+        # 2. skew-aware join orders ⋈ dim
+        res, cols, row_ok, ov_join = dist_join_skewed(
+            ok_, keep, {"amt": (oa, None)},
+            dk, jnp.ones_like(dk, dtype=bool), {"seg": (ds, None)},
+            AXIS, probe_capacity=probe_cap, build_capacity=build_cap,
+            out_capacity=out_cap, how="inner", num_hot=num_hot,
+            hot_replicate_capacity=min(hot_capacity, dk.shape[0]))
+        amt, amt_ok = cols["amt"]
+        seg, seg_ok = cols["seg"]
+        joined_ok = row_ok & amt_ok & seg_ok
+        metrics["join_out"] = jnp.sum(joined_ok.astype(jnp.int64))
+
+        # 3. aggregate by seg (second shuffle: co-locate groups)
+        agg = dist_hash_aggregate(
+            seg, joined_ok, {"amt": (amt, None)},
+            [("amt", "sum"), ("amt", "count")],
+            AXIS, capacity=out_cap, max_groups=G)
+        metrics["agg_groups"] = agg["group_count"].astype(jnp.int64)
+        overflow = ov_join | agg["overflow"]
+
+        # 4. global sort of group rows (tiny): gather every shard's groups
+        gkeys = agg["keys"][:G]
+        gsum = agg["agg:amt:sum"][:G]
+        gcount = agg["agg:amt:count"][:G]
+        present = jnp.arange(G) < agg["group_count"]
+        all_keys = lax.all_gather(gkeys, AXIS, tiled=True)
+        all_sum = lax.all_gather(gsum, AXIS, tiled=True)
+        all_count = lax.all_gather(gcount, AXIS, tiled=True)
+        all_present = lax.all_gather(present, AXIS, tiled=True)
+        order = lax.sort((jnp.logical_not(all_present),
+                          normalize_key(all_keys),
+                          jnp.arange(all_keys.shape[0], dtype=jnp.int32)),
+                         num_keys=2, is_stable=True)[-1]
+        skeys = all_keys[order]
+        ssum = all_sum[order]
+        scount = all_count[order]
+        n_groups = jnp.sum(all_present.astype(jnp.int32))
+        metrics = {k: v[None] for k, v in metrics.items()}
+        return (skeys, ssum, scount, n_groups[None], overflow[None], metrics)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS),) * 4,
+        out_specs=(P(), P(), P(), P(AXIS), P(AXIS),
+                   {k: P(AXIS) for k in ["rows_in", "filter_out",
+                                         "join_out", "agg_groups"]}),
+        # the sorted group table is identical on every shard (all_gather +
+        # deterministic local sort) but the checker can't infer that
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def run_pipeline(jitted, orders_key, orders_amt, dim_key, dim_seg,
+                 mesh: Mesh):
+    """Host driver: shard inputs, run, unpack results + metrics."""
+    sh = NamedSharding(mesh, P(AXIS))
+    args = [jax.device_put(jnp.asarray(x), sh)
+            for x in (orders_key, orders_amt, dim_key, dim_seg)]
+    skeys, ssum, scount, n_groups, overflow, metrics = jitted(*args)
+    ng = int(np.asarray(n_groups)[0])
+    if bool(np.asarray(overflow).any()):
+        raise RuntimeError("pipeline capacity overflow — rerun with larger "
+                           "shuffle_factor/out_factor")
+    host_metrics = {k: int(np.asarray(v).sum()) for k, v in metrics.items()}
+    return (np.asarray(skeys)[:ng], np.asarray(ssum)[:ng],
+            np.asarray(scount)[:ng], host_metrics)

@@ -205,3 +205,59 @@ def test_dist_sort_skewed():
                     "(documented: retry with larger capacity)")
     out_k = np.asarray(out_k)[np.asarray(out_valid)]
     np.testing.assert_array_equal(out_k, np.sort(keys, kind="stable"))
+
+
+@pytest.mark.parametrize("how", ["inner", "semi"])
+def test_dist_join_skewed(how):
+    from gandiva_tpu.parallel.ops import dist_join_skewed
+
+    mesh = _mesh()
+    ndev = len(jax.devices())
+    nper = 512
+    total = nper * ndev
+    rng = np.random.default_rng(11)
+    # heavy Zipf: one key dominates
+    probe = (rng.zipf(1.3, total) % 200).astype(np.int64)
+    pv = rng.integers(0, 1000, total).astype(np.int64)
+    build_per = 32
+    btotal = build_per * ndev
+    build = rng.permutation(400)[:btotal].astype(np.int64)
+    bv = rng.integers(0, 1000, btotal).astype(np.int64)
+
+    def step(pk, pvv, bk, bvv):
+        res, cols, row_ok, overflow = dist_join_skewed(
+            pk, jnp.ones_like(pk, dtype=bool), {"pv": (pvv, None)},
+            bk, jnp.ones_like(bk, dtype=bool), {"bv": (bvv, None)},
+            AXIS, probe_capacity=3 * nper, build_capacity=4 * build_per,
+            out_capacity=4 * nper, how=how, num_hot=16,
+            hot_replicate_capacity=64)
+        pvo, _ = cols["pv"]
+        bvo, bvok = cols.get("bv", (jnp.zeros_like(pvo), row_ok))
+        return pvo, bvo, bvok, row_ok, overflow[None]
+
+    f = jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=(P(AXIS),) * 5))
+    pvo, bvo, bvok, row_ok, overflow = f(
+        *_shard(mesh, jnp.asarray(probe), jnp.asarray(pv)),
+        *_shard(mesh, jnp.asarray(build), jnp.asarray(bv)))
+    assert not bool(np.asarray(overflow).any())
+
+    row_ok = np.asarray(row_ok)
+    pvo, bvo, bvok = map(np.asarray, (pvo, bvo, bvok))
+    if how == "semi":
+        got = sorted(int(pvo[i]) for i in range(len(row_ok)) if row_ok[i])
+    else:
+        got = sorted(((int(pvo[i]), int(bvo[i]) if bvok[i] else None)
+                      for i in range(len(row_ok)) if row_ok[i]),
+                     key=str)
+
+    pt = pa.table({"k": probe, "pv": pv})
+    bt = pa.table({"k": build, "bv": bv})
+    how_map = {"inner": "inner", "semi": "left semi"}
+    ores = pt.join(bt, keys="k", join_type=how_map[how],
+                   coalesce_keys=False).to_pylist()
+    if how == "semi":
+        expect = sorted(r["pv"] for r in ores)
+    else:
+        expect = sorted(((r["pv"], r["bv"]) for r in ores), key=str)
+    assert got == expect
