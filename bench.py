@@ -24,6 +24,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_ROWS_PER_S = 23.7e6  # BASELINE.md configs[0]
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — plays the role LLVM-module
+    caching plays in the reference (SURVEY.md §5.4): Make-time cost is paid
+    once per (shapes, program), across processes."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def bench_filter_project(n, iters):
     import numpy as np
     import jax
@@ -78,6 +91,7 @@ def bench_filter_project(n, iters):
 
 
 def main():
+    _enable_compile_cache()
     n = int(os.environ.get("BENCH_ROWS", 16 * 1024 * 1024))
     iters = int(os.environ.get("BENCH_ITERS", 21))
     rows_per_s = bench_filter_project(n, iters)

@@ -14,6 +14,8 @@ what's needed for pre-epoch dates; jnp ``//`` floors).
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from .. import dtypes as dt
@@ -464,3 +466,152 @@ def _next_day_impl(ctx, args):
 
 for _dt_ in DATE_TYPES:
     _R.register("next_day", [_dt_, dt.string], _dt_, _next_day_impl)
+
+
+# ---------------------------------------------------------------------------
+# string → date/timestamp parsing (the ToDateHolder analogue,
+# to_date_holder.cc: pattern compiled once at Make, applied per row — here
+# applied per *distinct* dictionary value on host)
+# ---------------------------------------------------------------------------
+
+_SQL_TO_STRPTIME = [
+    ("YYYY", "%Y"), ("YYY", "%Y"), ("YY", "%y"),
+    ("MONTH", "%B"), ("MON", "%b"), ("MM", "%m"),
+    ("DDD", "%j"), ("DD", "%d"),
+    ("HH24", "%H"), ("HH12", "%I"), ("HH", "%H"),
+    ("MI", "%M"), ("SS", "%S"),
+]
+
+
+def sql_format_to_strptime(fmt: str) -> str:
+    """SQL date format (YYYY-MM-DD …) → strptime format."""
+    out = []
+    i = 0
+    up = fmt.upper()
+    while i < len(fmt):
+        for token, repl in _SQL_TO_STRPTIME:
+            if up.startswith(token, i):
+                out.append(repl)
+                i += len(token)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _parse_table(ctx, sval, fmt: str, unit_ms: bool):
+    """Host tables: parsed epoch value + parse-ok flag per distinct."""
+    import datetime as _dt
+
+    from .string_ops import _dict_list, _pad_pow2
+
+    strp = sql_format_to_strptime(fmt)
+    dthunk = sval.dict_thunk
+
+    def values_thunk(batch, _dt_=dthunk, _f=strp):
+        d = _dict_list(_dt_(batch))
+        out = np.zeros(len(d), dtype=np.int64)
+        for i, v in enumerate(d):
+            if v is None:
+                continue
+            try:
+                t = _dt.datetime.strptime(v.strip(), _f)
+                out[i] = int((t - _dt.datetime(1970, 1, 1)).total_seconds()
+                             * 1000)
+            except ValueError:
+                out[i] = 0
+        return _pad_pow2(out, 0)
+
+    def ok_thunk(batch, _dt_=dthunk, _f=strp):
+        d = _dict_list(_dt_(batch))
+        out = np.zeros(len(d), dtype=bool)
+        for i, v in enumerate(d):
+            if v is None:
+                continue
+            try:
+                _dt.datetime.strptime(v.strip(), _f)
+                out[i] = True
+            except ValueError:
+                pass
+        return _pad_pow2(out, False)
+
+    tv = ctx.add_table(values_thunk)
+    tok = ctx.add_table(ok_thunk)
+    codes = jnp.clip(sval.value, 0, tv.shape[0] - 1)
+    return tv[codes], tok[codes]
+
+
+def _to_date_impl(ctx, args):
+    """to_date(string, format[, suppress_errors]) → date64; unparseable →
+    null (NULL_INTERNAL, matching the holder's suppress-errors mode)."""
+    from .registry import ExpressionValidationError
+
+    s = args[0]
+    if s.dict_thunk is None:
+        raise ExpressionValidationError("to_date requires a string column")
+    if not args[1].is_literal:
+        raise ExpressionValidationError("to_date format must be a literal")
+    ms, ok = _parse_table(ctx, s, str(args[1].literal), unit_ms=True)
+    days_ms = (ms // MS_PER_DAY) * MS_PER_DAY
+    validity = ok if s.validity is None else (ok & s.validity)
+    from .registry import Val
+    return Val(days_ms, validity, dt.date64)
+
+
+def _cast_date_from_string(ctx, args):
+    """castDATE(utf8) — ISO YYYY-MM-DD."""
+    from .registry import ExpressionValidationError, Val
+
+    s = args[0]
+    if s.dict_thunk is None:
+        raise ExpressionValidationError("castDATE requires a string column")
+    sv = Val(s.value, s.validity, s.dtype, dict_thunk=s.dict_thunk)
+    ms, ok = _parse_table(ctx, sv, "YYYY-MM-DD", unit_ms=True)
+    validity = ok if s.validity is None else (ok & s.validity)
+    return Val(ms, validity, dt.date64)
+
+
+def _cast_ts_from_string(ctx, args):
+    from .registry import ExpressionValidationError, Val
+
+    s = args[0]
+    if s.dict_thunk is None:
+        raise ExpressionValidationError(
+            "castTIMESTAMP requires a string column")
+    ms, ok = _parse_table(ctx, s, "YYYY-MM-DD HH24:MI:SS", unit_ms=True)
+    ms2, ok2 = _parse_table(ctx, s, "YYYY-MM-DD", unit_ms=True)
+    out = jnp.where(ok, ms, ms2)
+    okc = ok | ok2
+    validity = okc if s.validity is None else (okc & s.validity)
+    return Val(out, validity, dt.timestamp)
+
+
+def _is_date_impl(ctx, args):
+    from .registry import ExpressionValidationError, Val
+
+    s = args[0]
+    if s.dict_thunk is None:
+        raise ExpressionValidationError("is_date requires a string column")
+    fmt = "YYYY-MM-DD" if len(args) < 2 or not args[1].is_literal \
+        else str(args[1].literal)
+    _, ok = _parse_table(ctx, s, fmt, unit_ms=True)
+    if s.validity is not None:
+        ok = ok & s.validity
+    return Val(ok, None, dt.bool_)
+
+
+from .registry import Nullability as _N  # noqa: E402
+
+_R.register("to_date", [dt.string, dt.string], dt.date64, _to_date_impl,
+            nullability=_N.NULL_INTERNAL)
+_R.register("to_date", [dt.string, dt.string, dt.int32], dt.date64,
+            _to_date_impl, nullability=_N.NULL_INTERNAL)
+_R.register("castDATE", [dt.string], dt.date64, _cast_date_from_string,
+            nullability=_N.NULL_INTERNAL)
+_R.register("castTIMESTAMP", [dt.string], dt.timestamp, _cast_ts_from_string,
+            nullability=_N.NULL_INTERNAL)
+_R.register("is_date", [dt.string], dt.bool_, _is_date_impl,
+            nullability=_N.NULL_NEVER)
+_R.register("is_date", [dt.string, dt.string], dt.bool_, _is_date_impl,
+            nullability=_N.NULL_NEVER)

@@ -167,3 +167,39 @@ def test_datediff_and_date_add():
         dt.Field("r", dt.int32))
     (r,) = g.make_projector(schema, [expr]).evaluate(batch)
     assert list(np.asarray(r)) == [29, -2]
+
+
+def test_to_date_and_is_date():
+    import gandiva_tpu as g
+    schema = dt.Schema([dt.Field("s", dt.string)])
+    ns = g.TreeExprBuilder.make_field(schema.field("s"))
+    fmt = g.TreeExprBuilder.make_string_literal("YYYY-MM-DD")
+    exprs = [
+        B.make_expression(B.make_function("to_date", [ns, fmt], dt.date64),
+                          dt.Field("d", dt.date64)),
+        B.make_expression(B.make_function("is_date", [ns], dt.bool_),
+                          dt.Field("ok", dt.bool_)),
+    ]
+    proj = g.make_projector(schema, exprs, use_cache=False)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["2020-03-01", "not a date", None, "1969-12-31"])],
+        names=["s"])
+    d, ok = proj.evaluate(batch)
+    assert d.to_pylist() == [pydt.date(2020, 3, 1), None, None,
+                             pydt.date(1969, 12, 31)]
+    assert ok.to_pylist() == [True, False, False, True]
+
+
+def test_cast_timestamp_from_string():
+    import gandiva_tpu as g
+    schema = dt.Schema([dt.Field("s", dt.string)])
+    ns = g.TreeExprBuilder.make_field(schema.field("s"))
+    e = B.make_expression(B.make_function("castTIMESTAMP", [ns],
+                                          dt.timestamp),
+                          dt.Field("t", dt.timestamp))
+    (r,) = g.make_projector(schema, [e], use_cache=False).evaluate(
+        pa.RecordBatch.from_arrays(
+            [pa.array(["2020-03-01 12:30:45", "2020-03-01", "zz"])],
+            names=["s"]))
+    assert r.to_pylist() == [pydt.datetime(2020, 3, 1, 12, 30, 45),
+                             pydt.datetime(2020, 3, 1), None]
