@@ -41,7 +41,6 @@ def bench_filter_project(n, iters):
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from gandiva_tpu.entrypoints import flagship_step
 
@@ -55,16 +54,7 @@ def bench_filter_project(n, iters):
                 + jnp.sum(out_val).astype(jnp.int64)
                 + jnp.sum(out_valid.astype(jnp.int64)))
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(4,))
-    def run(a, av, b, bv, k):
-        def body(carry, j):
-            # perturb the key column so no iteration can be hoisted/cached
-            chk = one(a + j.astype(a.dtype), av, b, bv)
-            return carry + chk, None
-        total, _ = lax.scan(body, jnp.int64(0), jnp.arange(k))
-        return total
+    jfn = jax.jit(one)
 
     key = jax.random.PRNGKey(42)
     k1, k2 = jax.random.split(key)
@@ -73,27 +63,22 @@ def bench_filter_project(n, iters):
     av = jnp.ones(n, dtype=bool)
     bv = jnp.ones(n, dtype=bool)
 
-    # warmup/compile (fetch forces completion through the tunnel)
-    int(run(a, av, b, bv, 1))
-    base_t = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        int(run(a, av, b, bv, 1))
-        base_t.append(time.perf_counter() - t0)
-    int(run(a, av, b, bv, iters))  # compile the K-iter variant
+    int(jfn(a, av, b, bv))  # warmup/compile
+    # sequential calls, each synchronized by a scalar fetch (the tunnel's
+    # block_until_ready is unreliable; a fetch drains the pipeline). The
+    # fetch round-trip (~25-80 ms) is included — the number is honest
+    # end-to-end per-batch latency, amortized at 16M+ rows.
     t0 = time.perf_counter()
-    int(run(a, av, b, bv, iters))
-    t_iters = time.perf_counter() - t0
-    # subtract the 1-iteration wall floor (tunnel latency + one pass),
-    # attribute the remainder to the extra (iters-1) device passes
-    per_iter = (t_iters - min(base_t)) / (iters - 1)
+    for _ in range(iters):
+        int(jfn(a, av, b, bv))
+    per_iter = (time.perf_counter() - t0) / iters
     return n / per_iter
 
 
 def main():
     _enable_compile_cache()
     n = int(os.environ.get("BENCH_ROWS", 16 * 1024 * 1024))
-    iters = int(os.environ.get("BENCH_ITERS", 21))
+    iters = int(os.environ.get("BENCH_ITERS", 7))
     rows_per_s = bench_filter_project(n, iters)
     print(json.dumps({
         "metric": "filter_project_rows_per_s",

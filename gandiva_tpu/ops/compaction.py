@@ -22,7 +22,6 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.bits import explode, rebuild
 
 
 def compact_mask(mask, capacity: Optional[int] = None,
@@ -60,22 +59,13 @@ def compact_sort(mask, payload: Sequence = (), index_dtype=jnp.uint32):
 
     Stable: surviving rows keep their order; tail holds the dropped rows
     (values untouched, just permuted) — slice with ``count`` at the
-    boundary. 64-bit payload columns travel as uint32 limb pairs.
+    boundary. Payload operands are never *compared* (only the 1-bit drop
+    key is), so 64-bit payloads ride directly — no limb splitting needed
+    (that discipline is for scatter/gather and for sort *keys*).
     """
     n = mask.shape[0]
     drop = jnp.logical_not(mask)
     idx = jnp.arange(n, dtype=index_dtype)
-    flat = []
-    shapes = []
-    for col in payload:
-        parts = explode(col)
-        shapes.append((col.dtype, len(parts)))
-        flat.extend(parts)
-    out = lax.sort((drop, idx) + tuple(flat), num_keys=1, is_stable=True)
+    out = lax.sort((drop, idx) + tuple(payload), num_keys=1, is_stable=True)
     count = jnp.sum(mask, dtype=jnp.int32)
-    packed = []
-    pos = 2
-    for dtype, k in shapes:
-        packed.append(rebuild(list(out[pos:pos + k]), dtype))
-        pos += k
-    return out[1], count, packed
+    return out[1], count, list(out[2:])
