@@ -31,8 +31,8 @@ import jax.numpy as jnp
 
 from . import dtypes as dt
 
-LANE = 128          # TPU lane width; last-dim tiling unit
-_DEFAULT_PAD = 128  # pad row counts to a multiple of this
+LANE = 128           # TPU lane width; last-dim tiling unit
+_DEFAULT_PAD = 2048  # pad row counts to the Pallas compaction block multiple
 
 
 def padded_length(n: int, multiple: int = _DEFAULT_PAD) -> int:

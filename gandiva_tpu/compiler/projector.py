@@ -297,8 +297,8 @@ class Filter(_CompiledPlan):
 
     def _finish(self, ctx: TraceContext, outs: List[Val]):
         mask = _condition_mask(ctx, outs[0])
-        from ..ops.compaction import compact_sort
-        idx, count, _ = compact_sort(mask)
+        from ..ops.compaction import compact_best
+        idx, count, _ = compact_best(mask)
         return idx, count
 
     def evaluate(self, batch, mode: SelectionMode = SelectionMode.UINT32
@@ -360,7 +360,7 @@ class FilterProject(_CompiledPlan):
         return FilterProject(schema, condition, exprs, config)
 
     def _finish(self, ctx: TraceContext, outs: List[Val]):
-        from ..ops.compaction import compact_sort
+        from ..ops.compaction import compact_best
 
         mask = _condition_mask(ctx, outs[0])
         cap = ctx.capacity
@@ -372,7 +372,7 @@ class FilterProject(_CompiledPlan):
             validity = jnp.ones((cap,), dtype=bool) if v.validity is None \
                 else jnp.broadcast_to(v.validity, (cap,))
             payload.append(validity)
-        idx, count, packed = compact_sort(mask, payload)
+        idx, count, packed = compact_best(mask, payload)
         return idx, count, packed
 
     def evaluate_device(self, batch: Batch):
