@@ -265,3 +265,42 @@ def test_evaluate_many_batches_reuses_compile():
         batch = pa.RecordBatch.from_arrays([a], names=["a"])
         (r,) = proj.evaluate(batch)
         np.testing.assert_array_equal(np.asarray(r), (np.arange(100) + i) * 3)
+
+
+def test_in_expr_extended_types():
+    """Coverage the reference explicitly lacks (test_gandiva.py:154-155
+    skips: 'Gandiva C++ did not have *real* binary, time and date
+    support') — this engine supports typed IN for binary/date/timestamp."""
+    # binary IN
+    fb = dt.Field("b", dt.binary)
+    schema = dt.Schema([fb])
+    node = B.make_in_expression_binary(B.make_field(fb), [b"ab", b"zz"])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([b"ab", b"cd", b"zz", None], type=pa.binary())],
+        names=["b"])
+    sel = g.make_filter(schema, B.make_condition(node),
+                        use_cache=False).evaluate(batch)
+    np.testing.assert_array_equal(sel.to_numpy(), [0, 2])
+
+    # date32 IN (days since epoch)
+    fd = dt.Field("d", dt.date32)
+    schema_d = dt.Schema([fd])
+    node = B.make_in_expression_date32(B.make_field(fd), [18262, 18263])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([18261, 18262, 18263, 18264], type=pa.int32()).cast(
+            pa.date32())], names=["d"])
+    sel = g.make_filter(schema_d, B.make_condition(node),
+                        use_cache=False).evaluate(batch)
+    np.testing.assert_array_equal(sel.to_numpy(), [1, 2])
+
+    # timestamp IN (millis)
+    ft = dt.Field("t", dt.timestamp)
+    schema_t = dt.Schema([ft])
+    node = B.make_in_expression_timestamp(B.make_field(ft),
+                                          [86400000, 172800000])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([0, 86400000, 172800000], type=pa.int64()).cast(
+            pa.timestamp("ms"))], names=["t"])
+    sel = g.make_filter(schema_t, B.make_condition(node),
+                        use_cache=False).evaluate(batch)
+    np.testing.assert_array_equal(sel.to_numpy(), [1, 2])
