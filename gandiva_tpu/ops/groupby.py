@@ -36,19 +36,37 @@ def table_size_for(max_groups: int, table_factor: int = 4) -> int:
     return T
 
 
+def key_to_i64(keys):
+    """Any key column → int64 with an equality-preserving bijection.
+
+    astype would TRUNCATE floats (1.5 and 1.7 would both become key 1);
+    float columns map through sort's normalize_key (pure arithmetic, TPU-
+    safe, -0.0/NaN canonicalized to SQL equality classes) and wrap-convert.
+    """
+    if keys.dtype in (jnp.float32, jnp.float64):
+        from .sort import normalize_key
+
+        return normalize_key(keys).astype(jnp.int64)
+    if keys.dtype == jnp.uint64:
+        return keys.astype(jnp.int64)  # wrap: bit pattern preserved
+    return keys.astype(jnp.int64)
+
+
 def group_ids(keys, valid=None, max_groups: int = 4096,
               table_factor: int = 4):
     """Assign dense group ids to ``keys``.
 
     Returns (gid[N] int32, unique_keys[T] int64, group_count, overflow):
     - gid ∈ [0, group_count) for valid rows; T for invalid rows
-    - unique_keys: distinct keys compacted to rank order (tail undefined)
+    - unique_keys: distinct keys compacted to rank order (tail undefined;
+      for float inputs these are normalize_key images, not raw values —
+      gather the original column by a representative row to recover them)
     - overflow: distinct keys exceeded the probe budget — caller retries
       with a larger ``max_groups`` (Status-style error, SURVEY.md §5.3)
     """
     n = keys.shape[0]
     T = table_size_for(max_groups, table_factor)
-    keys = keys.astype(jnp.int64)
+    keys = key_to_i64(keys)
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
 
@@ -103,3 +121,45 @@ def group_ids(keys, valid=None, max_groups: int = 4096,
     uniq = jnp.zeros((T + 1,), dtype=jnp.int64).at[
         jnp.where(filled, rank, T)].set(table_key[:T], mode="drop")[:T]
     return gid, uniq, group_count, overflow
+
+
+def group_ids_multi(key_columns, valids=None, max_groups: int = 4096,
+                    table_factor: int = 4):
+    """Composite-key group ids, exact for any number of key columns.
+
+    Cascade construction: resolve each column to its own dense id, then
+    combine pairwise as ``gid_a * (max_groups+2) + gid_b`` — equal combined
+    ids ⟺ equal key tuples (both factors are dense per-column ids), and the
+    combined domain re-resolves through the same hash table. Null keys get
+    their own id per column (SQL GROUP BY groups nulls together).
+
+    Returns (gid[N], group_count, overflow). Unique *tuples* are recoverable
+    by gathering each key column at one representative row per group.
+    """
+    n = key_columns[0].shape[0]
+    if valids is None:
+        valids = [None] * len(key_columns)
+    base = jnp.int64(max_groups + 2)
+
+    combined = None
+    overflow = jnp.array(False)
+    for col, valid in zip(key_columns, valids):
+        gid, _, _, ov = group_ids(col, None, max_groups=max_groups,
+                                  table_factor=table_factor)
+        overflow = overflow | ov
+        # null keys form their own per-column id (max_groups+1)
+        if valid is not None:
+            gid = jnp.where(valid, gid, jnp.int32(max_groups + 1))
+        g64 = gid.astype(jnp.int64)
+        combined = g64 if combined is None else combined * base + g64
+        if combined is not None and col is not key_columns[-1]:
+            # re-densify between stages so the product stays in range
+            combined, _, _, ov2 = group_ids(combined, None,
+                                            max_groups=max_groups,
+                                            table_factor=table_factor)
+            overflow = overflow | ov2
+            combined = combined.astype(jnp.int64)
+
+    gid, _, gcount, ov3 = group_ids(combined, None, max_groups=max_groups,
+                                    table_factor=table_factor)
+    return gid, gcount, overflow | ov3

@@ -168,3 +168,101 @@ def gather_payload(result: JoinResult, probe_cols=None, build_cols=None):
             gv = present if validity is None else (validity[safe] & present)
             out[name] = (g, gv)
     return out, row_ok
+
+
+def join_multi(probe_keys_list, build_keys_list, capacity: int,
+               how: str = "inner", probe_valids=None, build_valids=None,
+               probe_exists=None, build_exists=None) -> JoinResult:
+    """Composite-key join: match on the first key column, then apply the
+    remaining key equalities as a residual filter on the candidate pairs.
+
+    Exact for all join types here (inner/left/semi/anti): residual-failed
+    pairs are recomputed per probe row so outer emission and semi/anti
+    predicates see the composite-match truth. ``capacity`` bounds the
+    *first-key* candidate pairs (the worst case), so pick it for the most
+    selective column first.
+    """
+    how = how.lower()
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"join_multi supports inner/left/semi/anti, "
+                         f"got {how!r}")
+    k = len(probe_keys_list)
+    assert len(build_keys_list) == k and k >= 1
+    if probe_valids is None:
+        probe_valids = [None] * k
+    if build_valids is None:
+        build_valids = [None] * k
+
+    def all_kv(valids, n):
+        out = None
+        for v in valids:
+            if v is None:
+                continue
+            out = v if out is None else (out & v)
+        return out if out is not None else jnp.ones((n,), dtype=bool)
+
+    np_ = probe_keys_list[0].shape[0]
+    nb = build_keys_list[0].shape[0]
+    pkv = all_kv(probe_valids, np_)   # any null key ⇒ row never matches
+    bkv = all_kv(build_valids, nb)
+
+    # candidate pairs on the first key (inner — residual decides the rest)
+    cand = join(probe_keys_list[0], build_keys_list[0], capacity, "inner",
+                probe_valid=pkv, build_valid=bkv,
+                probe_exists=probe_exists, build_exists=build_exists)
+    r = jnp.arange(cand.probe_idx.shape[0])
+    pair_ok = r < cand.count
+    pidx = jnp.clip(cand.probe_idx, 0, np_ - 1)
+    bidx = jnp.clip(cand.build_idx, 0, nb - 1)
+    from ..utils.bits import gather32
+    match = pair_ok
+    for i in range(1, k):
+        pv = gather32(probe_keys_list[i], pidx)
+        bv = gather32(build_keys_list[i], bidx)
+        match = match & (pv == bv)
+
+    if how == "inner":
+        from .compaction import compact_sort
+        idx, count, packed = compact_sort(
+            match, [cand.probe_idx, cand.build_idx])
+        return JoinResult(packed[0], packed[1], count, cand.overflow)
+
+    # probe-level composite-match flags (scatter-or over candidate pairs)
+    n1 = np_ + 1
+    hit = jnp.zeros((n1,), dtype=jnp.int32).at[
+        jnp.where(match, pidx, np_)].max(1, mode="drop")[:np_] > 0
+    exists = probe_exists if probe_exists is not None \
+        else jnp.ones((np_,), dtype=bool)
+    if how == "semi":
+        from .compaction import compact_sort
+        sel = hit & exists
+        idx, count, _ = compact_sort(sel)
+        return JoinResult(idx.astype(jnp.int32),
+                          jnp.full((np_,), -1, jnp.int32)[:idx.shape[0]],
+                          count, cand.overflow)
+    if how == "anti":
+        from .compaction import compact_sort
+        sel = (~hit) & exists
+        idx, count, _ = compact_sort(sel)
+        return JoinResult(idx.astype(jnp.int32),
+                          jnp.full((np_,), -1, jnp.int32)[:idx.shape[0]],
+                          count, cand.overflow)
+    # left: matched pairs + unmatched probe rows with null build
+    from .compaction import compact_sort
+    midx, mcount, mpacked = compact_sort(match,
+                                         [cand.probe_idx, cand.build_idx])
+    un = (~hit) & exists
+    uidx, ucount, _ = compact_sort(un)       # [np_]
+    C = cand.probe_idx.shape[0]
+    # append unmatched rows after the matched pairs (uidx is probe-length)
+    r2 = jnp.arange(np_)
+    slot = jnp.where(r2 < ucount, r2 + mcount, C)
+    probe_out = jnp.concatenate(
+        [mpacked[0], jnp.zeros((1,), mpacked[0].dtype)]).at[slot].set(
+            uidx.astype(mpacked[0].dtype), mode="drop")[:C]
+    build_out = jnp.concatenate(
+        [mpacked[1], jnp.zeros((1,), mpacked[1].dtype)]).at[slot].set(
+            -1, mode="drop")[:C]
+    total = mcount + ucount
+    return JoinResult(probe_out, build_out, total.astype(jnp.int32),
+                      cand.overflow | (total > C))

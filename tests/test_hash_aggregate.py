@@ -123,3 +123,38 @@ def test_hash_aggregate_traceable():
 
     res = f(keys, vals)
     assert int(res["group_count"]) == 3
+
+
+def test_group_ids_float_keys_not_truncated():
+    from gandiva_tpu.ops.groupby import group_ids
+
+    keys = jnp.asarray(np.array([1.5, 1.7, 1.5, -0.0, 0.0, 2.0]))
+    gid, uniq, count, ov = group_ids(keys, max_groups=16)
+    gid = np.asarray(gid)
+    assert int(count) == 4  # {1.5, 1.7, ±0.0, 2.0}
+    assert gid[0] == gid[2]
+    assert gid[0] != gid[1]
+    assert gid[3] == gid[4]  # -0.0 == 0.0
+
+
+def test_group_ids_multi_with_nulls():
+    from gandiva_tpu.ops.groupby import group_ids_multi
+
+    rng = np.random.default_rng(1)
+    n = 2000
+    k1 = rng.integers(0, 10, n).astype(np.int64)
+    k2 = rng.integers(0, 8, n).astype(np.int64)
+    null2 = rng.random(n) < 0.2
+    gid, gcount, ov = group_ids_multi(
+        [jnp.asarray(k1), jnp.asarray(k2)],
+        valids=[None, jnp.asarray(~null2)], max_groups=256)
+    assert not bool(ov)
+    gid = np.asarray(gid)
+    m = {}
+    for i in range(n):
+        t = (k1[i], None if null2[i] else k2[i])
+        if t in m:
+            assert m[t] == gid[i]
+        else:
+            m[t] = gid[i]
+    assert int(gcount) == len(m)

@@ -113,3 +113,38 @@ def test_gather_payload():
          if bool(np.asarray(cols["bv"][1])[i]) else None)
         for i in range(n))
     assert got == [(10.0, 100.0), (20.0, 200.0), (90.0, None)]
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_join_multi_key(how):
+    from gandiva_tpu.ops.hash_join import join_multi
+
+    rng = np.random.default_rng(9)
+    n, m = 800, 200
+    p1 = rng.integers(0, 40, n).astype(np.int64)
+    p2 = rng.integers(0, 5, n).astype(np.int64)
+    b1 = rng.integers(0, 50, m).astype(np.int64)
+    b2 = rng.integers(0, 5, m).astype(np.int64)
+
+    res = join_multi([jnp.asarray(p1), jnp.asarray(p2)],
+                     [jnp.asarray(b1), jnp.asarray(b2)], 16384, how)
+    assert not bool(res.overflow)
+    c = int(res.count)
+    pi = np.asarray(res.probe_idx)[:c]
+    bi = np.asarray(res.build_idx)[:c]
+
+    pt = pa.table({"k1": p1, "k2": p2, "pv": np.arange(n)})
+    bt = pa.table({"k1": b1, "k2": b2, "bv": np.arange(m)})
+    how_map = {"inner": "inner", "left": "left outer",
+               "semi": "left semi", "anti": "left anti"}
+    ores = pt.join(bt, keys=["k1", "k2"], join_type=how_map[how],
+                   coalesce_keys=False).to_pylist()
+    if how in ("semi", "anti"):
+        got = sorted(int(x) for x in pi)
+        expect = sorted(r["pv"] for r in ores)
+    else:
+        got = sorted((int(a), int(b) if b >= 0 else -1)
+                     for a, b in zip(pi, bi))
+        expect = sorted((r["pv"], r["bv"] if r["bv"] is not None else -1)
+                        for r in ores)
+    assert got == expect, how
