@@ -64,6 +64,8 @@ class _CompiledPlan:
         self._jit = jax.jit(self._run)
         self._jit_sel = jax.jit(self._run_selected)
         self._seed = 0
+        # per-operator observability (SURVEY.md §5.5): host-side counters
+        self.stats = {"evaluations": 0, "rows_in": 0, "rows_out": 0}
 
     # ---- tracing ------------------------------------------------------
     def _make_vals(self, cols: Dict[str, Tuple[Any, Any]],
@@ -244,6 +246,9 @@ class Projector(_CompiledPlan):
             outs = self._jit_sel(cols, jnp.int32(batch.length), tables, key,
                                  selection.indices, selection.count)
             length = int(jax.device_get(selection.count))
+        self.stats["evaluations"] += 1
+        self.stats["rows_in"] += batch.length
+        self.stats["rows_out"] += length
         out_cols = {}
         for e, (value, validity), dthunk in zip(
                 self.exprs, outs, self._out_dict_thunks):
@@ -315,6 +320,8 @@ class Filter(_CompiledPlan):
         cols = self._cols_of(batch)
         idx, count = self._jit(cols, jnp.int32(batch.length), tables,
                                self._next_key())
+        self.stats["evaluations"] += 1
+        self.stats["rows_in"] += batch.length
         if mode is SelectionMode.UINT16:
             idx = idx.astype(jnp.uint16)
         elif mode is SelectionMode.UINT64:
@@ -385,6 +392,9 @@ class FilterProject(_CompiledPlan):
         idx, count, packed = self._jit(cols, jnp.int32(batch.length), tables,
                                        self._next_key())
         length = int(jax.device_get(count))
+        self.stats["evaluations"] += 1
+        self.stats["rows_in"] += batch.length
+        self.stats["rows_out"] += length
         out_cols = {}
         pos = 0
         for i, e in enumerate(self.exprs):

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .groupby import group_ids, table_size_for
+from .groupby import distinct_small, group_ids, table_size_for
 
 _LANE = 128
 
@@ -95,10 +95,19 @@ def hash_aggregate(keys, aggs: Sequence[Tuple[str, str]],
         key_valid = jnp.ones((n,), dtype=bool)
 
     in_table = row_valid & key_valid
-    gid, uniq, gcount, overflow = group_ids(keys, in_table,
-                                            max_groups=max_groups)
+    if max_groups <= 256:
+        # low-cardinality fast path: scatter-free min-extraction discovery
+        # (the hash table costs seconds at 100M rows; see groupby.py)
+        gid, uniq, gcount, overflow = distinct_small(keys, in_table,
+                                                     max_groups=max_groups)
+    else:
+        gid, uniq, gcount, overflow = group_ids(keys, in_table,
+                                                max_groups=max_groups)
     G_out = max_groups + 1  # slot for the null-key group
     overflow = overflow | (gcount > max_groups)
+    if uniq.shape[0] < G_out:  # distinct_small returns exactly max_groups
+        uniq = jnp.concatenate(
+            [uniq, jnp.zeros((G_out - uniq.shape[0],), uniq.dtype)])
 
     if group_null_keys:
         null_rows = row_valid & ~key_valid

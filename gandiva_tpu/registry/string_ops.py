@@ -560,3 +560,11 @@ _R.register("hash32", [dt.string], dt.int32, _hash_string_impl(32),
 _R.register("hash64", [dt.string], dt.int64, _hash_string_impl(64))
 _R.register("hash32", [dt.string, dt.int32], dt.int32, _hash_string_impl(32))
 _R.register("hash64", [dt.string, dt.int64], dt.int64, _hash_string_impl(64))
+
+
+# NOTE: castVARCHAR(numeric → string) is NOT an in-kernel function here: the
+# output dictionary would need the column's distinct values on host, implying
+# a device→host transfer inside the traced plan. The supported route is the
+# Batch-level conversion API (to_arrow + pyarrow cast) or pre-dictionary-
+# encoded inputs; castVARCHAR over string inputs (truncation) is registered
+# above. Documented divergence from the reference.
