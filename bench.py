@@ -136,7 +136,7 @@ def bench_join(n_probe, n_build, iters):
 
     @jax.jit
     def run(probe, build):
-        res = join(probe, build, n_probe, "inner")
+        res = join(probe, build, n_probe, "inner", build_unique=True)
         return (res.count.astype(jnp.int64)
                 + jnp.sum(res.probe_idx.astype(jnp.int64))
                 + jnp.sum(res.build_idx.astype(jnp.int64)))

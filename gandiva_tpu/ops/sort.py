@@ -82,21 +82,38 @@ def normalize_key(values, ascending: bool = True):
 
 def sort_permutation(keys: Sequence[SortKey], length=None):
     """Return the stable permutation (int32 indices) ordering rows by the
-    given keys; padding rows (index ≥ length) sort to the back."""
+    given keys; padding rows (index ≥ length) sort to the back.
+
+    Operand count is minimized aggressively: the bitonic network XLA emits
+    doubles per operand, and at 8M+ rows a 4-operand int64 sort failed to
+    compile in 20+ minutes on this toolchain while (rank, key, idx) compiles
+    in ~6 and runs 8M rows in ~400 ms. Padding/null bits fold into one
+    uint32 rank operand; payloads are *gathered* by the permutation
+    afterwards (sort_columns), never sorted along.
+    """
     n = keys[0].values.shape[0]
     operands = []
+    # leading rank: (padding << 1) | null-placement for the FIRST key —
+    # both outrank the first key value in lexicographic priority
+    first = keys[0]
+    rank = jnp.zeros((n,), dtype=jnp.uint32)
     if length is not None:
-        row_ok = jnp.arange(n) < length
-        operands.append(jnp.logical_not(row_ok))  # False (real rows) first
-    for k in keys:
+        rank = rank | (jnp.arange(n) >= length).astype(jnp.uint32) << 1
+    norm0 = normalize_key(first.values, first.ascending)
+    if first.validity is not None:
+        # encode so the group that must come first carries the smaller rank
+        rank = rank | jnp.where(first.nulls_first,
+                                first.validity.astype(jnp.uint32),
+                                (~first.validity).astype(jnp.uint32))
+        norm0 = jnp.where(first.validity, norm0, jnp.zeros_like(norm0))
+    operands.append(rank)
+    operands.append(norm0)
+    for k in keys[1:]:
         norm = normalize_key(k.values, k.ascending)
         if k.validity is not None:
             null_rank = k.validity if k.nulls_first \
                 else jnp.logical_not(k.validity)
-            # nulls_first: valid=True sorts after null=False ⇒ nulls first
             operands.append(null_rank)
-            # null rows carry garbage values; pin them so stability keeps
-            # them in input order (Arrow semantics)
             norm = jnp.where(k.validity, norm, jnp.zeros_like(norm))
         operands.append(norm)
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -109,8 +126,11 @@ def sort_columns(keys: Sequence[SortKey],
                  payload: Sequence[jnp.ndarray] = (),
                  length=None):
     """Sort key columns plus payload columns; returns (perm, sorted key
-    value arrays, sorted payloads)."""
+    value arrays, sorted payloads). Payloads move via 32-bit-limb gathers
+    (utils/bits.py), never as extra sort operands."""
+    from ..utils.bits import gather32
+
     perm = sort_permutation(keys, length=length)
-    sorted_keys = [k.values[perm] for k in keys]
-    sorted_payload = [p[perm] for p in payload]
+    sorted_keys = [gather32(k.values, perm) for k in keys]
+    sorted_payload = [gather32(p, perm) for p in payload]
     return perm, sorted_keys, sorted_payload

@@ -148,3 +148,36 @@ def test_join_multi_key(how):
         expect = sorted((r["pv"], r["bv"] if r["bv"] is not None else -1)
                         for r in ores)
     assert got == expect, how
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_join_unique_build_fast_path(how):
+    from gandiva_tpu.ops.hash_join import join as _join
+
+    rng = np.random.default_rng(13)
+    n, m = 3000, 400
+    probe = rng.integers(0, 800, n).astype(np.int64)
+    build = rng.permutation(800)[:m].astype(np.int64)  # unique
+    res = _join(jnp.asarray(probe), jnp.asarray(build), n, how,
+                build_unique=True)
+    assert not bool(res.overflow)
+    c = int(res.count)
+    got_pairs = [(int(a), int(b))
+                 for a, b in zip(np.asarray(res.probe_idx)[:c],
+                                 np.asarray(res.build_idx)[:c])]
+    ref = _join(jnp.asarray(probe), jnp.asarray(build), 4 * n, how)
+    rc = int(ref.count)
+    ref_pairs = [(int(a), int(b))
+                 for a, b in zip(np.asarray(ref.probe_idx)[:rc],
+                                 np.asarray(ref.build_idx)[:rc])]
+    assert sorted(got_pairs) == sorted(ref_pairs), how
+
+
+def test_join_unique_build_detects_duplicates():
+    from gandiva_tpu.ops.hash_join import join as _join
+
+    probe = np.array([1, 2], dtype=np.int64)
+    build = np.array([1, 1, 2], dtype=np.int64)  # NOT unique
+    res = _join(jnp.asarray(probe), jnp.asarray(build), 16, "inner",
+                build_unique=True)
+    assert bool(res.overflow)
