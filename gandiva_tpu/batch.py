@@ -46,12 +46,12 @@ class Column:
     """One device column: values + validity lane, plus static metadata.
 
     ``data``      — jnp array, padded physical values (codes for strings,
-                    hi-limb for decimal).
+                    LO limb for decimal128).
     ``validity``  — jnp bool array, same padded shape; False ⇒ NULL.
     ``dtype``     — logical DataType (static / aux data).
     ``dictionary``— host pyarrow Array of distinct values for string/binary
                     columns (static / aux data), else None.
-    ``extra``     — secondary device buffer: lo-limb for decimal128, else None.
+    ``extra``     — secondary device buffer: HI limb for decimal128, else None.
     """
 
     def __init__(self, data, validity, dtype: dt.DataType, dictionary=None,

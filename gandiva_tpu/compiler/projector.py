@@ -163,6 +163,10 @@ class _CompiledPlan:
     def _tables_for(self, batch: Batch) -> Tuple:
         if self._thunks is None:
             self._discover(batch)
+            if self.config.dump_ir:
+                # reference behavior: Configuration(dump_ir=True) retains the
+                # compiled IR automatically (gandiva.pyx:595-608)
+                self.dump_hlo(batch)
         return tuple(jnp.asarray(t(batch)) for t in self._thunks)
 
     def _next_key(self):
@@ -435,7 +439,11 @@ _PLAN_CACHE: Dict[Any, Any] = {}
 def make_projector(schema: dt.Schema, exprs: Sequence[Expression],
                    selection_mode: SelectionMode = SelectionMode.NONE,
                    config: Optional[Configuration] = None,
-                   use_cache: bool = True) -> Projector:
+                   use_cache: bool = True, pool=None) -> Projector:
+    """``pool`` accepts a gandiva_tpu.native.MemoryPool for signature parity
+    with the reference (gandiva.pyx:629 make_projector(schema, children,
+    pool, ...)); device allocation is XLA's, so the pool only accounts
+    host-side conversion buffers."""
     config = _default_config(config)
     key = ("projector", schema, tuple(exprs), selection_mode, config)
     if use_cache and key in _PLAN_CACHE:
@@ -448,7 +456,7 @@ def make_projector(schema: dt.Schema, exprs: Sequence[Expression],
 
 def make_filter(schema: dt.Schema, condition: Condition,
                 config: Optional[Configuration] = None,
-                use_cache: bool = True) -> Filter:
+                use_cache: bool = True, pool=None) -> Filter:
     config = _default_config(config)
     key = ("filter", schema, condition, config)
     if use_cache and key in _PLAN_CACHE:

@@ -105,7 +105,12 @@ def group_ids(keys, valid=None, max_groups: int = 4096,
 
         def _pv(x):
             need = axes - set(jax.typeof(x).vma)
-            return lax.pvary(x, tuple(need)) if need else x
+            if not need:
+                return x
+            try:
+                return lax.pcast(x, tuple(need), to="varying")
+            except (AttributeError, TypeError):
+                return lax.pvary(x, tuple(need))
 
         init = tuple(_pv(x) for x in init)
         _, table_key, table_occ, unresolved, slot_of = lax.while_loop(
@@ -194,9 +199,12 @@ def distinct_small(keys, valid=None, max_groups: int = 256):
         _, uniq = lax.scan(body, init, None, length=max_groups)
     except TypeError:
         # shard_map: promote the unvarying init to the keys' varying axes
-        axes = set(jax.typeof(keys).vma) - set(jax.typeof(init).vma)
-        _, uniq = lax.scan(body, lax.pvary(init, tuple(axes)), None,
-                           length=max_groups)
+        axes = tuple(set(jax.typeof(keys).vma) - set(jax.typeof(init).vma))
+        try:
+            init2 = lax.pcast(init, axes, to="varying")
+        except (AttributeError, TypeError):
+            init2 = lax.pvary(init, axes)
+        _, uniq = lax.scan(body, init2, None, length=max_groups)
     # rounds after exhaustion keep returning BIG
     found = uniq < BIG
     count = jnp.sum(found.astype(jnp.int32)) \

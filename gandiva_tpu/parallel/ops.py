@@ -100,7 +100,8 @@ def dist_join(probe_keys, probe_valid, probe_cols: Dict[str, Tuple],
               build_keys, build_valid, build_cols: Dict[str, Tuple],
               axis: str, probe_capacity: int, build_capacity: int,
               out_capacity: int, how: str = "inner",
-              probe_key_valid=None, build_key_valid=None, seed: int = 0):
+              probe_key_valid=None, build_key_valid=None, seed: int = 0,
+              build_unique: bool = False):
     """Per-shard body: co-shuffle both sides by key hash, then local join.
 
     Same hash seed on both sides ⇒ equal keys co-locate ⇒ the union of
@@ -135,7 +136,8 @@ def dist_join(probe_keys, probe_valid, probe_cols: Dict[str, Tuple],
     # the original null mask (travelled as __kv). join() keeps them distinct.
     res = join(pk, bk, out_capacity, how,
                probe_valid=pkv, build_valid=bkv,
-               probe_exists=pvalid, build_exists=bvalid)
+               probe_exists=pvalid, build_exists=bvalid,
+               build_unique=build_unique)
     out_cols, row_ok = gather_payload(
         res, probe_cols={**{n: (v, vv) for n, (v, vv) in pcols.items()},
                          "__probe_key": (pk, pvalid)},
@@ -249,7 +251,7 @@ def dist_join_skewed(probe_keys, probe_valid, probe_cols,
                      axis: str, probe_capacity: int, build_capacity: int,
                      out_capacity: int, how: str = "inner",
                      num_hot: int = 64, hot_replicate_capacity: int = 1024,
-                     seed: int = 0):
+                     seed: int = 0, build_unique: bool = False):
     """Per-shard body: skew-aware inner/semi/left join.
 
     Hot probe keys (detected from a global sample) do NOT shuffle — their
@@ -318,7 +320,8 @@ def dist_join_skewed(probe_keys, probe_valid, probe_cols,
 
     res = join(pk, all_bk, out_capacity, how,
                probe_valid=None, build_valid=None,
-               probe_exists=pvalid, build_exists=all_bvalid)
+               probe_exists=pvalid, build_exists=all_bvalid,
+               build_unique=build_unique)
     out_cols, row_ok = gather_payload(
         res, probe_cols={**{n: v for n, v in pcols.items()},
                          "__probe_key": (pk, pvalid)},
