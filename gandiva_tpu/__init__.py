@@ -42,6 +42,9 @@ from .compiler.selection import SelectionMode, SelectionVector  # noqa: E402
 from .compiler.projector import (Filter, FilterProject, Projector,  # noqa: E402
                                  make_filter, make_filter_project,
                                  make_projector)
+from . import native  # noqa: E402
+from . import ops  # noqa: E402
+from . import parallel  # noqa: E402
 
 
 def get_registered_function_signatures():
@@ -64,6 +67,7 @@ __all__ = [
     "FunctionRegistry", "FunctionSignature", "global_registry",
     "get_registered_function_signatures",
     "ExpressionValidationError",
+    "ops", "parallel", "native",
 ]
 
 __version__ = "0.1.0"
