@@ -280,7 +280,13 @@ def register_decimal_for(t1: dt.DataType, t2: dt.DataType):
 
 
 def register_decimal_unary(t: dt.DataType):
+    from .numeric import _isnotnull, _isnull
+
     reg = _R
+    for name, f in (("isnull", _isnull), ("isnotnull", _isnotnull)):
+        if reg.lookup(name, [t]) is None:
+            reg.register(name, [t], dt.bool_, f,
+                         nullability=Nullability.NULL_NEVER)
     specs = [
         ("abs", _abs_impl, t),
         ("negative", _negative, t),

@@ -139,10 +139,15 @@ _R.register(
     lambda ctx, args: jnp.logical_not(args[0].value))
 
 
+def _ref_arr(v):
+    # decimals carry (hi, lo) limb tuples
+    return v.value[0] if isinstance(v.value, tuple) else v.value
+
+
 def _isnull(ctx, args):
     v = args[0]
     if v.validity is None:
-        out = jnp.zeros_like(v.value, dtype=bool)
+        out = jnp.zeros(_ref_arr(v).shape, dtype=bool)
     else:
         out = jnp.logical_not(v.validity)
     return Val(out, None, dt.bool_)
@@ -151,7 +156,7 @@ def _isnull(ctx, args):
 def _isnotnull(ctx, args):
     v = args[0]
     if v.validity is None:
-        out = jnp.ones_like(v.value, dtype=bool)
+        out = jnp.ones(_ref_arr(v).shape, dtype=bool)
     else:
         out = v.validity
     return Val(out, None, dt.bool_)
@@ -230,7 +235,7 @@ def _nvl(ctx, args):
     return Val(out, outv, a.dtype)
 
 
-for _t in NUMERIC:
+for _t in NUMERIC + TEMPORAL + [dt.bool_]:
     _R.register("nvl", [_t, _t], _t, _nvl,
                 nullability=Nullability.NULL_INTERNAL, aliases=["coalesce2"])
 

@@ -568,3 +568,22 @@ _R.register("hash64", [dt.string, dt.int64], dt.int64, _hash_string_impl(64))
 # Batch-level conversion API (to_arrow + pyarrow cast) or pre-dictionary-
 # encoded inputs; castVARCHAR over string inputs (truncation) is registered
 # above. Documented divergence from the reference.
+
+
+# ---------------------------------------------------------------------------
+# cryptographic hashes (gandiva precompiled/hash.cc: hashSHA1/hashSHA256/
+# hashMD5 return hex strings) — dictionary transforms, one digest per
+# distinct value
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+def _reg_digest(name, algo):
+    _reg_transform(name, lambda v, _a=algo: _hashlib.new(
+        _a, v.encode()).hexdigest())
+
+
+_reg_digest("hashSHA1", "sha1")
+_reg_digest("hashSHA256", "sha256")
+_reg_digest("hashMD5", "md5")
