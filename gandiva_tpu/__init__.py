@@ -33,6 +33,7 @@ from .registry import cast as _cast  # noqa: E402,F401
 from .registry import datetime_ops as _datetime_ops  # noqa: E402,F401
 from .registry import string_ops as _string_ops  # noqa: E402,F401
 from .registry import hash_ops as _hash_ops  # noqa: E402,F401
+from .registry import decimal_ops as _decimal_ops  # noqa: E402,F401
 from .registry.registry import (ExpressionValidationError,  # noqa: E402
                                 FunctionRegistry, global_registry)
 from .registry.signature import FunctionSignature  # noqa: E402

@@ -170,7 +170,10 @@ class ExprDecomposer:
             raise ExpressionValidationError(
                 f"function {node.name} returns {rt}, "
                 f"tree declares {node.dtype}")
-        out = fn.impl(self.ctx, args)
+        if fn.needs_return_type:
+            out = fn.impl(self.ctx, args, return_type=node.dtype)
+        else:
+            out = fn.impl(self.ctx, args)
         if isinstance(out, Val):
             if (fn.nullability is Nullability.NULL_IF_NULL
                     and out.validity is None):

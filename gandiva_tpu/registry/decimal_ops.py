@@ -254,6 +254,71 @@ def _cast_float8(ctx, args):
     return Val(f / (10.0 ** a.dtype.scale), None, dt.float64)
 
 
+def _fits_precision(hi, lo, precision: int):
+    """|x| < 10^precision (so x is representable at that precision)."""
+    ph, plo = i128.pow10_128(precision)
+    ah, al = i128.abs128(hi, lo)
+    c = i128.cmp128(ah, al, jnp.full_like(ah, ph), jnp.full_like(al, plo))
+    return c < 0
+
+
+def _cast_decimal_impl(null_on_overflow: bool):
+    """castDECIMAL / castDECIMALNullOnOverflow — target (precision, scale)
+    comes from the tree-declared return type (gandiva: the JNI/proto layer
+    carries the target type on the cast node; decimal_ops.cc
+    castDECIMAL_decimal128). Rounding on downscale is half-away-from-zero.
+    The plain variant wraps silently on precision overflow; the
+    NullOnOverflow variant nulls those rows."""
+
+    def impl(ctx, args, return_type):
+        a = args[0]
+        t = return_type
+        if t is None or not t.is_decimal:
+            raise ExpressionValidationError(
+                "castDECIMAL requires the expression to declare a "
+                f"decimal return type, got {t}")
+        overflow = None
+        if a.dtype.is_decimal:
+            hi, lo = _rescale(*_limbs(a), a.dtype.scale, t.scale)
+        elif a.dtype.is_integer:
+            hi, lo = i128.from_int64(a.value.astype(jnp.int64))
+            hi, lo = i128.mul_pow10(hi, lo, t.scale)
+        elif a.dtype.is_float:
+            x = a.value.astype(jnp.float64) * (10.0 ** t.scale)
+            # half-away-from-zero, then via int64 (f64 has 53 mantissa bits,
+            # so every exactly-representable input survives)
+            y = jnp.trunc(x + jnp.where(x < 0, -0.5, 0.5))
+            overflow = jnp.abs(y) >= 2.0 ** 63
+            hi, lo = i128.from_int64(y.astype(jnp.int64))
+        else:
+            raise ExpressionValidationError(
+                f"castDECIMAL: unsupported source type {a.dtype}")
+        out = _decimal_val(hi, lo, t)
+        if null_on_overflow:
+            fits = _fits_precision(hi, lo, t.precision)
+            if overflow is not None:
+                fits = fits & ~overflow
+            v = fits if a.validity is None else (a.validity & fits)
+            out.validity = v
+        return out
+
+    return impl
+
+
+def register_cast_decimal_from(t: dt.DataType):
+    for name, noo in (("castDECIMAL", False),
+                      ("castDECIMALNullOnOverflow", True)):
+        if _R.lookup(name, [t]) is None:
+            _R.register(name, [t], None, _cast_decimal_impl(noo),
+                        nullability=Nullability.NULL_IF_NULL if not noo
+                        else Nullability.NULL_INTERNAL,
+                        needs_return_type=True)
+
+
+for _t in (dt.int32, dt.int64, dt.float32, dt.float64):
+    register_cast_decimal_from(_t)
+
+
 def register_decimal_for(t1: dt.DataType, t2: dt.DataType):
     """Decimal signatures are parameterized by (precision, scale), so they
     register on demand per concrete type pair (the validator calls this
@@ -283,6 +348,7 @@ def register_decimal_unary(t: dt.DataType):
     from .numeric import _isnotnull, _isnull
 
     reg = _R
+    register_cast_decimal_from(t)
     for name, f in (("isnull", _isnull), ("isnotnull", _isnotnull)):
         if reg.lookup(name, [t]) is None:
             reg.register(name, [t], dt.bool_, f,

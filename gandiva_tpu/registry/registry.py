@@ -64,6 +64,9 @@ class NativeFunction:
     signature: FunctionSignature
     impl: Callable
     nullability: Nullability = Nullability.NULL_IF_NULL
+    # impl wants the tree-declared return type (casts whose target is
+    # parameterized, e.g. castDECIMAL → decimal(p, s) of the node)
+    needs_return_type: bool = False
 
     @property
     def name(self) -> str:
@@ -81,12 +84,14 @@ class FunctionRegistry:
     def register(self, name: str, param_types: Sequence[dt.DataType],
                  return_type, impl: Callable,
                  nullability: Nullability = Nullability.NULL_IF_NULL,
-                 aliases: Sequence[str] = ()):
+                 aliases: Sequence[str] = (),
+                 needs_return_type: bool = False):
         sig = FunctionSignature(name, tuple(param_types), return_type)
         key = (name, sig.param_types)
         if key in self._table:
             raise ValueError(f"duplicate registration: {sig}")
-        self._table[key] = NativeFunction(sig, impl, nullability)
+        self._table[key] = NativeFunction(sig, impl, nullability,
+                                          needs_return_type)
         for a in aliases:
             self._aliases.setdefault(a, name)
 

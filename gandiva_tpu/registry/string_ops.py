@@ -587,3 +587,62 @@ def _reg_digest(name, algo):
 _reg_digest("hashSHA1", "sha1")
 _reg_digest("hashSHA256", "sha256")
 _reg_digest("hashMD5", "md5")
+
+
+# ---------------------------------------------------------------------------
+# hex codecs + codepoint constructors (gandiva string_ops.cc: to_hex,
+# from_hex, chr, space)
+# ---------------------------------------------------------------------------
+
+_reg_transform("to_hex", lambda v: v.encode().hex().upper())
+
+
+def _to_hex_binary(ctx, args):
+    return _transform_dict(
+        args[0],
+        lambda d: [None if v is None else bytes(v).hex().upper() for v in d],
+        "to_hex")
+
+
+_R.register("to_hex", [dt.binary], dt.string, _to_hex_binary)
+
+
+def _from_hex(ctx, args):
+    def f(d):
+        out = []
+        for v in d:
+            if v is None:
+                out.append(None)
+            else:
+                try:
+                    out.append(bytes.fromhex(v))
+                except ValueError:
+                    out.append(b"")  # gandiva: invalid hex → error; we map
+                    #              to empty (documented divergence)
+        return out
+
+    return _transform_dict(args[0], f, "from_hex", out_dtype=dt.binary)
+
+
+_R.register("from_hex", [dt.string], dt.binary, _from_hex,
+            aliases=["unhex"])
+
+
+def _chr_impl(ctx, args):
+    # literal-only: producing a string column from arbitrary device ints
+    # would need a device→host transfer inside the traced plan (same
+    # constraint as castVARCHAR(numeric) — see NOTE above)
+    n = _require_literal(args[0], "chr", "#1")
+    return Val(None, None, dt.string, literal=chr(int(n) % 256),
+               is_literal=True)
+
+
+def _space_impl(ctx, args):
+    n = _require_literal(args[0], "space", "#1")
+    return Val(None, None, dt.string, literal=" " * max(0, int(n)),
+               is_literal=True)
+
+
+for _t in (dt.int32, dt.int64):
+    _R.register("chr", [_t], dt.string, _chr_impl)
+    _R.register("space", [_t], dt.string, _space_impl)

@@ -180,3 +180,59 @@ def test_decimal_abs_round_cast():
     assert [str(v) for v in a.to_pylist()] == ["3.50", "2.49", "2.50"]
     assert i.to_pylist() == [-4, 2, 3]  # round half away from zero
     np.testing.assert_allclose(np.asarray(f), [-3.5, 2.49, 2.5])
+
+
+def test_cast_decimal_rescale_and_from_numeric():
+    t = dt.decimal128(10, 2)
+    schema = dt.Schema([dt.Field("d", t), dt.Field("i", dt.int64),
+                        dt.Field("f", dt.float64)])
+    nd = B.make_field(schema.field("d"))
+    ni = B.make_field(schema.field("i"))
+    nf = B.make_field(schema.field("f"))
+    up = dt.decimal128(12, 4)
+    down = dt.decimal128(10, 1)
+    exprs = [
+        B.make_expression(B.make_function("castDECIMAL", [nd], up),
+                          dt.Field("u", up)),
+        B.make_expression(B.make_function("castDECIMAL", [nd], down),
+                          dt.Field("w", down)),
+        B.make_expression(B.make_function("castDECIMAL", [ni], t),
+                          dt.Field("x", t)),
+        B.make_expression(B.make_function("castDECIMAL", [nf], t),
+                          dt.Field("y", t)),
+    ]
+    proj = g.make_projector(schema, exprs, use_cache=False)
+    import pyarrow as pa
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([pydec.Decimal("1.25"), pydec.Decimal("-3.45"),
+                   pydec.Decimal("99.99")], type=pa.decimal128(10, 2)),
+         pa.array([7, -12, 0], type=pa.int64()),
+         pa.array([1.005, -2.5, 3.14159], type=pa.float64())],
+        names=["d", "i", "f"])
+    u, w, x, y = proj.evaluate(batch)
+    assert [str(v) for v in u.to_pylist()] == ["1.2500", "-3.4500",
+                                               "99.9900"]
+    # downscale rounds half away from zero
+    assert [str(v) for v in w.to_pylist()] == ["1.3", "-3.5", "100.0"]
+    assert [str(v) for v in x.to_pylist()] == ["7.00", "-12.00", "0.00"]
+    # 1.005 is not exactly representable (1.00499...) → rounds to 1.00
+    assert [str(v) for v in y.to_pylist()] == ["1.00", "-2.50", "3.14"]
+
+
+def test_cast_decimal_null_on_overflow():
+    t = dt.decimal128(20, 0)
+    target = dt.decimal128(3, 1)  # max |v| < 10^3 at scale 1 → |x| < 100
+    schema = dt.Schema([dt.Field("d", t)])
+    nd = B.make_field(schema.field("d"))
+    expr = B.make_expression(
+        B.make_function("castDECIMALNullOnOverflow", [nd], target),
+        dt.Field("r", target))
+    proj = g.make_projector(schema, [expr], use_cache=False)
+    import pyarrow as pa
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([pydec.Decimal(9), pydec.Decimal(99),
+                   pydec.Decimal(100), pydec.Decimal(-100), None],
+                  type=pa.decimal128(20, 0))], names=["d"])
+    (r,) = proj.evaluate(batch)
+    assert [None if v is None else str(v) for v in r.to_pylist()] == \
+        ["9.0", "99.0", None, None, None]

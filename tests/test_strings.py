@@ -185,3 +185,39 @@ def test_dictionary_changes_between_batches():
     np.testing.assert_array_equal(sel1.to_numpy(), [0, 2])
     sel2 = filt.evaluate(_sbatch(["zz", "aq", "bb", "aa"]))
     np.testing.assert_array_equal(sel2.to_numpy(), [1, 3])
+
+
+def test_to_hex_from_hex():
+    data = ["arrow", "", "\x00\x01", None]
+    batch = _sbatch(data)
+    r = _project1("to_hex", batch, dt.string)
+    assert r.to_pylist() == ["6172726F77", "", "0001", None]
+    # round-trip: from_hex(to_hex(s)) == bytes(s)
+    expr = g.TreeExprBuilder.make_expression(
+        B.make_function("from_hex",
+                        [B.make_function("to_hex",
+                                         [B.make_field(SCHEMA.field("s"))],
+                                         dt.string)], dt.binary),
+        dt.Field("r", dt.binary))
+    (rb,) = g.make_projector(SCHEMA, [expr], use_cache=False).evaluate(batch)
+    assert rb.to_pylist() == [b"arrow", b"", b"\x00\x01", None]
+
+
+def test_chr_space_literals():
+    batch = _sbatch(["x", "y"])
+    expr = B.make_expression(
+        B.make_function("concat",
+                        [B.make_field(SCHEMA.field("s")),
+                         B.make_function("chr", [B.make_literal(
+                             33, dt.int32)], dt.string)], dt.string),
+        dt.Field("r", dt.string))
+    (r,) = g.make_projector(SCHEMA, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == ["x!", "y!"]
+    expr = B.make_expression(
+        B.make_function("concat",
+                        [B.make_field(SCHEMA.field("s")),
+                         B.make_function("space", [B.make_literal(
+                             3, dt.int32)], dt.string)], dt.string),
+        dt.Field("r", dt.string))
+    (r,) = g.make_projector(SCHEMA, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == ["x   ", "y   "]
