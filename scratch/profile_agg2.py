@@ -6,6 +6,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 N = 16 * 1024 * 1024
