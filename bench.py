@@ -156,31 +156,55 @@ def bench_join(n_probe, n_build, iters):
 
 
 def main():
+    """Run ALL four BASELINE configs (or a single BENCH_OP) and print one
+    JSON line per operator plus a final combined line for the driver — the
+    combined object carries every config's rows/s and vs_baseline so
+    BENCH_r{N}.json is reviewable against BASELINE.md in one place."""
     _enable_compile_cache()
-    n = int(os.environ.get("BENCH_ROWS", 16 * 1024 * 1024))
-    iters = int(os.environ.get("BENCH_ITERS", 7))
-    op = os.environ.get("BENCH_OP", "filter_project")
-    if op == "filter_project":
-        rows_per_s = bench_filter_project(n, iters)
-        baseline = BASELINE_ROWS_PER_S
-    elif op == "agg":
-        rows_per_s = bench_hash_aggregate(n, iters)
-        baseline = 127.6e6
-    elif op == "sort":
-        rows_per_s = bench_sort(min(n, 8 * 1024 * 1024), iters)
-        baseline = 1.3e6
-    elif op == "join":
-        n_build = int(os.environ.get("BENCH_BUILD_ROWS", 1024 * 1024))
-        rows_per_s = bench_join(n, n_build, iters)
-        baseline = 3.4e6
-    else:
-        raise SystemExit(f"unknown BENCH_OP {op}")
-    print(json.dumps({
-        "metric": f"{op}_rows_per_s",
-        "value": rows_per_s,
-        "unit": "rows/s",
-        "vs_baseline": rows_per_s / baseline,
-    }))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+    only = os.environ.get("BENCH_OP", "all")
+    n_env = os.environ.get("BENCH_ROWS")
+
+    def rows(default):
+        return int(n_env) if n_env else default
+
+    MI = 1024 * 1024
+    plans = {
+        # op: (runner, default_rows, CPU-baseline rows/s — BASELINE.md)
+        "filter_project": (lambda n: bench_filter_project(n, iters),
+                           16 * MI, 23.7e6),
+        "agg": (lambda n: bench_hash_aggregate(n, iters), 96 * MI, 127.6e6),
+        "sort": (lambda n: bench_sort(n, iters), 64 * MI, 1.3e6),
+        "join": (lambda n: bench_join(
+            n, int(os.environ.get("BENCH_BUILD_ROWS", 1024 * 1024)), iters),
+            64 * MI, 3.4e6),
+    }
+    selected = list(plans) if only == "all" else [only]
+    results = {}
+    for op in selected:
+        runner, default_n, baseline = plans[op]
+        try:
+            rows_per_s = runner(rows(default_n))
+        except Exception as e:  # surface per-op failures, keep benching
+            print(json.dumps({"metric": f"{op}_rows_per_s", "value": 0,
+                              "unit": "rows/s", "vs_baseline": 0,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            results[op] = {"rows_per_s": 0, "vs_baseline": 0}
+            continue
+        line = {"metric": f"{op}_rows_per_s", "value": rows_per_s,
+                "unit": "rows/s", "vs_baseline": rows_per_s / baseline}
+        print(json.dumps(line), flush=True)
+        results[op] = {"rows_per_s": rows_per_s,
+                       "vs_baseline": rows_per_s / baseline}
+    if len(selected) > 1:
+        ratios = [r["vs_baseline"] for r in results.values()]
+        geomean = (float(__import__("math").prod(ratios)) ** (1 / len(ratios))
+                   if all(r > 0 for r in ratios) else 0.0)
+        print(json.dumps({
+            "metric": "all_ops_vs_baseline_geomean", "value": geomean,
+            "unit": "x", "vs_baseline": geomean, "configs": results,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,12 @@ deterministic tree reduction order (documented divergence from Acero's
 sequential order: same set of addends, different association).
 
 Aggregate kinds: "sum", "count", "count_all", "min", "max", "mean".
+
+Backend dispatch: on TPU with integer keys/values and ≤128 groups, the
+whole aggregate runs as ONE Pallas pass over HBM (kernels/agg_pallas.py —
+group discovery and all accumulators in a single kernel), replacing a
+distinct-key scan plus one masked [N, G] reduction per aggregate. Float
+values, >128 groups, or non-TPU backends use the XLA path below.
 """
 from __future__ import annotations
 
@@ -73,11 +79,174 @@ def segment_reduce(gid, values, num_groups: int, kind: str,
     raise ValueError(f"unknown aggregate kind {kind!r}")
 
 
+_SIGNED_INTS = (jnp.int8, jnp.int16, jnp.int32, jnp.int64)
+
+
+def _pallas_eligible(keys, aggs, values, max_groups: int,
+                     backend: str) -> bool:
+    """One-pass Pallas kernel preconditions (kernels/agg_pallas.py): TPU (or
+    forced interpret mode for tests), integer keys, signed-integer values,
+    group capacity within the kernel's 128-slot table."""
+    from .kernels.agg_pallas import G as _G
+
+    if backend == "xla":
+        return False
+    if backend == "auto" and jax.default_backend() != "tpu":
+        return False
+    if max_groups > _G:
+        return False
+    kd = keys.dtype
+    if not (jnp.issubdtype(kd, jnp.integer) or kd == jnp.bool_):
+        return False
+    for name, kind in aggs:
+        if kind not in ("sum", "count", "count_all", "min", "max", "mean"):
+            return False
+        if kind == "count_all":
+            continue
+        arr, _ = values[name]
+        if arr.dtype not in _SIGNED_INTS:
+            return False
+    return True
+
+
+def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
+                           max_groups: int, group_null_keys: bool,
+                           interpret: bool):
+    """Decode layer over kernels/agg_pallas.aggregate_pallas matching the
+    hash_aggregate output contract (same dict keys, dtypes, identities)."""
+    from ..utils.bits import split_i64
+    from .kernels import agg_pallas as ak
+
+    n = keys.shape[0]
+    in_table = row_valid & key_valid
+    null_rows = (row_valid & ~key_valid) if group_null_keys \
+        else jnp.zeros((n,), bool)
+    kv = jnp.where(null_rows, jnp.int32(2),
+                   jnp.where(in_table, jnp.int32(1), jnp.int32(0)))
+    k64 = keys.astype(jnp.int64)
+    klo, khi = (x.view(jnp.int32) for x in split_i64(k64))
+
+    # assemble one ValueSpec per distinct value column actually referenced
+    col_order: List[str] = []
+    col_need: Dict[str, List[bool]] = {}
+    for name, kind in aggs:
+        if kind == "count_all":
+            continue
+        if name not in col_need:
+            col_need[name] = [False, False]
+            col_order.append(name)
+        if kind in ("sum", "mean"):
+            col_need[name][0] = True
+        if kind in ("min", "max"):
+            col_need[name][1] = True
+    value_limbs = []
+    specs = []
+    for name in col_order:
+        arr, vv = values[name]
+        v64 = arr.astype(jnp.int64)
+        vlo, vhi = (x.view(jnp.int32) for x in split_i64(v64))
+        limbs = [vlo, vhi]
+        if vv is not None:
+            limbs.append(vv.astype(jnp.int32))
+        value_limbs.append(tuple(limbs))
+        specs.append(ak.ValueSpec(want_sum=col_need[name][0],
+                                  want_minmax=col_need[name][1],
+                                  has_valid=vv is not None))
+    if not col_order:
+        # count_all-only query: ride the key limbs as a dummy value column
+        value_limbs.append((klo, khi))
+        specs.append(ak.ValueSpec(want_sum=False, want_minmax=False,
+                                  has_valid=False))
+        col_order.append("__rows__")
+
+    # pad to the kernel's block multiple with kv=0 (non-existent rows)
+    def _padded_len(m: int) -> int:
+        while True:
+            B = ak._choose_rows(m) * ak.LANE
+            if m % B == 0:
+                return m
+            m = -(-m // B) * B
+
+    n_pad = _padded_len(n)
+    if n_pad != n:
+        pad = n_pad - n
+
+        def padz(x):
+            return jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+
+        kv, klo, khi = padz(kv), padz(klo), padz(khi)
+        value_limbs = [tuple(padz(a) for a in limbs)
+                       for limbs in value_limbs]
+
+    tbl, cnt, ovf, per = ak.aggregate_pallas(kv, klo, khi, value_limbs,
+                                             specs, interpret=interpret)
+
+    G_out = max_groups + 1
+    slots = jnp.arange(G_out)
+    per_by_name = dict(zip(col_order, per))
+    count_all_any = ak.counts_from(per[0][0])[0]          # [GP]
+    has_null = (count_all_any[ak.G] > 0) if group_null_keys \
+        else jnp.array(False)
+    overflow = (ovf > 0) | (cnt > max_groups)
+
+    def place(decoded):
+        """[GP] kernel slots → [G_out] output slots: real groups 0..cnt-1
+        keep position (unused slots already hold the empty-group identity),
+        the null group moves from reserved slot G to dense slot cnt."""
+        base = decoded[:G_out] if decoded.shape[0] >= G_out else \
+            jnp.concatenate([decoded, jnp.full(
+                (G_out - decoded.shape[0],), decoded[-1], decoded.dtype)])
+        return jnp.where((slots == cnt) & has_null, decoded[ak.G], base)
+
+    uniq64 = ak.keys_from_table(tbl)                      # [G]
+    if uniq64.shape[0] < G_out:
+        uniq64 = jnp.concatenate(
+            [uniq64, jnp.zeros((G_out - uniq64.shape[0],), jnp.int64)])
+    out = {
+        "keys": jnp.where(slots < cnt, uniq64[:G_out], 0),
+        "key_is_null": (slots == cnt) & has_null,
+        "group_count": (cnt + has_null.astype(cnt.dtype)).astype(jnp.int32),
+        "overflow": overflow,
+    }
+    for name, kind in aggs:
+        cname = "__rows__" if kind == "count_all" and name not in \
+            per_by_name else name
+        cnts, sums, minmax = per_by_name[cname]
+        call, cval = ak.counts_from(cnts)
+        if kind == "count_all":
+            out[f"agg:{name}:count_all"] = place(call)
+            continue
+        vdt = values[name][0].dtype
+        if kind == "count":
+            out[f"agg:{name}:count"] = place(cval)
+        elif kind in ("sum", "mean"):
+            s = place(ak.sum_from(sums))
+            if kind == "sum":
+                out[f"agg:{name}:sum"] = s
+            else:
+                c = place(cval)
+                r = s.astype(jnp.float64) / jnp.maximum(c, 1)
+                out[f"agg:{name}:mean"] = jnp.where(c > 0, r, jnp.nan)
+        else:  # min / max
+            mn, mx = ak.minmax_from(minmax)
+            d = place(mn if kind == "min" else mx)
+            if vdt != jnp.int64:
+                # narrow dtype: swap the int64 empty-group sentinel for the
+                # narrow identity BEFORE the cast (int64::max wraps to -1)
+                ident = jnp.iinfo(vdt).max if kind == "min" \
+                    else jnp.iinfo(vdt).min
+                cv = place(cval)
+                d = jnp.where(cv == 0, jnp.int64(ident), d).astype(vdt)
+            out[f"agg:{name}:{kind}"] = d
+    return out
+
+
 def hash_aggregate(keys, aggs: Sequence[Tuple[str, str]],
                    values: Dict[str, Tuple],
                    key_valid=None, row_valid=None,
                    max_groups: int = 4096,
-                   group_null_keys: bool = True):
+                   group_null_keys: bool = True,
+                   backend: str = "auto"):
     """GROUP BY ``keys`` computing ``aggs`` = [(value_name, kind), ...].
 
     ``values[name] = (array, validity-or-None)``. Returns a dict:
@@ -93,6 +262,15 @@ def hash_aggregate(keys, aggs: Sequence[Tuple[str, str]],
         row_valid = jnp.ones((n,), dtype=bool)
     if key_valid is None:
         key_valid = jnp.ones((n,), dtype=bool)
+
+    if backend not in ("auto", "xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown hash_aggregate backend {backend!r}")
+    if _pallas_eligible(keys, aggs, values, max_groups, backend):
+        interpret = (backend == "pallas_interpret"
+                     or jax.default_backend() != "tpu")
+        return _hash_aggregate_pallas(keys, aggs, values, key_valid,
+                                      row_valid, max_groups,
+                                      group_null_keys, interpret)
 
     in_table = row_valid & key_valid
     if max_groups <= 256:

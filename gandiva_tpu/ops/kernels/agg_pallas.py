@@ -338,7 +338,11 @@ def sum_from(sums):
     for k in range(4):
         lo = sums[k, 0].astype(jnp.uint32).astype(jnp.int64)
         carry = sums[k, 1].astype(jnp.int64) << 32
-        h16 = sums[k, 2].astype(jnp.int64) << 16
+        # hi16 decodes UNSIGNED: the accumulator can reach 2^31 exactly at
+        # the documented 2^31-row bound (2^15 blocks × ≤2^16/block), where a
+        # signed astype would mis-reconstruct limb 0 by 2^48; uint32 decode
+        # is exact to 2^32 accumulated — 2× margin past the bound.
+        h16 = sums[k, 2].astype(jnp.uint32).astype(jnp.int64) << 16
         total = total + ((lo + carry + h16) << (16 * k))
     return total
 

@@ -278,17 +278,45 @@ def _cast_decimal_impl(null_on_overflow: bool):
                 "castDECIMAL requires the expression to declare a "
                 f"decimal return type, got {t}")
         overflow = None
+
+        def prescale_check(hi_in, lo_in, scale_delta: int):
+            """Magnitude check BEFORE scaling up: mul_pow10 truncates at 128
+            bits, so a wrapped product could spuriously pass _fits_precision
+            (gandiva's decimalops::Convert checks the input first). A value
+            fits iff |x·10^d| < 10^precision ⟺ |x| < 10^(precision−d); when
+            that bound is ≤ 0 digits only x == 0 fits."""
+            if scale_delta <= 0:
+                return None
+            p = t.precision - scale_delta
+            if p <= 0:
+                return (hi_in == 0) & (lo_in == 0)
+            return _fits_precision(hi_in, lo_in, p)
+
         if a.dtype.is_decimal:
-            hi, lo = _rescale(*_limbs(a), a.dtype.scale, t.scale)
+            hi0, lo0 = _limbs(a)
+            overflow_pre = prescale_check(hi0, lo0,
+                                          t.scale - a.dtype.scale)
+            if overflow_pre is not None:
+                overflow = ~overflow_pre
+            hi, lo = _rescale(hi0, lo0, a.dtype.scale, t.scale)
         elif a.dtype.is_integer:
             hi, lo = i128.from_int64(a.value.astype(jnp.int64))
+            fits_pre = prescale_check(hi, lo, t.scale)
+            if fits_pre is not None:
+                overflow = ~fits_pre
             hi, lo = i128.mul_pow10(hi, lo, t.scale)
         elif a.dtype.is_float:
             x = a.value.astype(jnp.float64) * (10.0 ** t.scale)
             # half-away-from-zero, then via int64 (f64 has 53 mantissa bits,
-            # so every exactly-representable input survives)
+            # so every exactly-representable input survives). NaN compares
+            # False against every bound, so flag it explicitly — gandiva
+            # treats NaN/inf→decimal as overflow.
             y = jnp.trunc(x + jnp.where(x < 0, -0.5, 0.5))
-            overflow = jnp.abs(y) >= 2.0 ** 63
+            overflow = ((jnp.abs(y) >= 2.0 ** 63) | jnp.isnan(x)
+                        | jnp.isinf(x))
+            # plain variant: overflow → 0 (gandiva's overflow value), never
+            # undefined garbage from an out-of-range float→int convert
+            y = jnp.where(overflow, jnp.zeros_like(y), y)
             hi, lo = i128.from_int64(y.astype(jnp.int64))
         else:
             raise ExpressionValidationError(

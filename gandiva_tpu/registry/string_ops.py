@@ -617,8 +617,10 @@ def _from_hex(ctx, args):
                 try:
                     out.append(bytes.fromhex(v))
                 except ValueError:
-                    out.append(b"")  # gandiva: invalid hex → error; we map
-                    #              to empty (documented divergence)
+                    # gandiva raises an execution error on invalid hex; we
+                    # map to NULL (documented divergence) — unlike b"", a
+                    # null row is distinguishable from from_hex('')
+                    out.append(None)
         return out
 
     return _transform_dict(args[0], f, "from_hex", out_dtype=dt.binary)
@@ -633,6 +635,10 @@ def _chr_impl(ctx, args):
     # would need a device→host transfer inside the traced plan (same
     # constraint as castVARCHAR(numeric) — see NOTE above)
     n = _require_literal(args[0], "chr", "#1")
+    # chr(n % 256) == bytes([n % 256]).decode('latin-1'): the string holds
+    # codepoint n%256. Gandiva emits the single raw BYTE n%256; for 128-255
+    # a UTF-8 re-encode of this string yields 2 bytes (documented divergence
+    # — byte-exact round-trip requires latin-1 encoding downstream).
     return Val(None, None, dt.string, literal=chr(int(n) % 256),
                is_literal=True)
 

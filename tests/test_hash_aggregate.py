@@ -57,7 +57,8 @@ def test_group_ids_many_collisions():
 
 
 @pytest.mark.parametrize("nulls", [False, True])
-def test_hash_aggregate_vs_arrow_int(nulls):
+@pytest.mark.parametrize("backend", ["auto", "pallas_interpret"])
+def test_hash_aggregate_vs_arrow_int(nulls, backend):
     rng = np.random.default_rng(42)
     n = 5000
     keys = rng.integers(0, 64, size=n).astype(np.int64)
@@ -71,7 +72,7 @@ def test_hash_aggregate_vs_arrow_int(nulls):
         {"v": (jnp.asarray(vals),
                None if val_null is None else jnp.asarray(~val_null))},
         key_valid=None if key_null is None else jnp.asarray(~key_null),
-        max_groups=128)
+        max_groups=128, backend=backend)
     assert not bool(res["overflow"])
     gcount = int(res["group_count"])
     got_keys = np.asarray(res["keys"])[:gcount]
@@ -108,6 +109,73 @@ def test_hash_aggregate_float_sum_close():
         sel = vals[keys == k]
         np.testing.assert_allclose(sums[i], sel.sum(), rtol=1e-12)
         np.testing.assert_allclose(means[i], sel.mean(), rtol=1e-12)
+
+
+def test_hash_aggregate_pallas_wide_values_and_kinds():
+    """Pallas path: 64-bit magnitudes (limb carries), count_all, mean,
+    int32 narrow min/max identities, null-key group — vs numpy oracle."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    keys = (rng.integers(-5, 6, n) * 10 ** 10).astype(np.int64)
+    vals = rng.integers(-10 ** 12, 10 ** 12, n).astype(np.int64)
+    v32 = rng.integers(-10 ** 6, 10 ** 6, n).astype(np.int32)
+    key_null = rng.random(n) < 0.15
+    val_null = rng.random(n) < 0.2
+
+    res = hash_aggregate(
+        jnp.asarray(keys),
+        [("v", "sum"), ("v", "mean"), ("v", "count_all"),
+         ("w", "min"), ("w", "max"), ("w", "count")],
+        {"v": (jnp.asarray(vals), jnp.asarray(~val_null)),
+         "w": (jnp.asarray(v32), None)},
+        key_valid=jnp.asarray(~key_null),
+        max_groups=64, backend="pallas_interpret")
+    assert not bool(res["overflow"])
+    gcount = int(res["group_count"])
+    got_keys = np.asarray(res["keys"])[:gcount]
+    nullf = np.asarray(res["key_is_null"])[:gcount]
+    assert res["agg:w:min"].dtype == jnp.int32
+    for i in range(gcount):
+        if nullf[i]:
+            rows = key_null
+        else:
+            rows = ~key_null & (keys == got_keys[i])
+        vrows = rows & ~val_null
+        assert np.asarray(res["agg:v:count_all"])[i] == rows.sum()
+        assert np.asarray(res["agg:v:sum"])[i] == vals[vrows].sum()
+        if vrows.any():
+            np.testing.assert_allclose(
+                np.asarray(res["agg:v:mean"])[i], vals[vrows].mean(),
+                rtol=1e-12)
+        assert np.asarray(res["agg:w:count"])[i] == rows.sum()
+        assert np.asarray(res["agg:w:min"])[i] == v32[rows].min()
+        assert np.asarray(res["agg:w:max"])[i] == v32[rows].max()
+    assert nullf.sum() == 1  # exactly one null-key group
+
+
+def test_hash_aggregate_pallas_overflow_flag():
+    keys = jnp.asarray(np.arange(300, dtype=np.int64))
+    vals = jnp.asarray(np.ones(300, dtype=np.int64))
+    res = hash_aggregate(keys, [("v", "sum")], {"v": (vals, None)},
+                         max_groups=64, backend="pallas_interpret")
+    assert bool(res["overflow"])
+
+
+def test_hash_aggregate_pallas_padding_unaligned():
+    """n not a multiple of the kernel block: padded rows must not leak."""
+    rng = np.random.default_rng(9)
+    n = 1000  # pads to 1024
+    keys = rng.integers(0, 7, n).astype(np.int64)
+    vals = rng.integers(-50, 50, n).astype(np.int64)
+    res = hash_aggregate(jnp.asarray(keys), [("v", "sum"), ("v", "count")],
+                         {"v": (jnp.asarray(vals), None)},
+                         max_groups=16, backend="pallas_interpret")
+    gcount = int(res["group_count"])
+    assert gcount == len(np.unique(keys))
+    got_keys = np.asarray(res["keys"])[:gcount]
+    for i, k in enumerate(got_keys):
+        assert np.asarray(res["agg:v:sum"])[i] == vals[keys == k].sum()
+        assert np.asarray(res["agg:v:count"])[i] == (keys == k).sum()
 
 
 def test_hash_aggregate_traceable():
