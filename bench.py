@@ -38,41 +38,26 @@ def _enable_compile_cache():
 
 
 def bench_filter_project(n, iters):
+    """configs[0], device-resident streaming: K batches evaluated per host
+    round-trip via ONE lax.scan (FilterProject.stream_fn), each batch's
+    outputs reduced to scalar checksums on device so nothing but one scalar
+    crosses the tunnel per call. Rows/s = K·N / per-call wall time."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from gandiva_tpu.entrypoints import flagship_step
+    from gandiva_tpu.entrypoints import flagship_stream
 
-    fn, _ = flagship_step()
+    K = int(os.environ.get("BENCH_STREAM_BATCHES", 8))
+    jfn, make_inputs = flagship_stream()
+    cols = make_inputs(K, n, seed=42)
 
-    def one(a, av, b, bv):
-        sel_idx, sel_count, out_val, out_valid = fn(a, av, b, bv)
-        # scalar checksums force materialization of every stage
-        return (sel_count.astype(jnp.int64)
-                + jnp.sum(sel_idx.astype(jnp.int64))
-                + jnp.sum(out_val).astype(jnp.int64)
-                + jnp.sum(out_valid.astype(jnp.int64)))
-
-    jfn = jax.jit(one)
-
-    key = jax.random.PRNGKey(42)
-    k1, k2 = jax.random.split(key)
-    a = jax.random.randint(k1, (n,), 0, 1000, dtype=jnp.int64)
-    b = jax.random.uniform(k2, (n,), dtype=jnp.float64)
-    av = jnp.ones(n, dtype=bool)
-    bv = jnp.ones(n, dtype=bool)
-
-    int(jfn(a, av, b, bv))  # warmup/compile
-    # sequential calls, each synchronized by a scalar fetch (the tunnel's
-    # block_until_ready is unreliable; a fetch drains the pipeline). The
-    # fetch round-trip (~25-80 ms) is included — the number is honest
-    # end-to-end per-batch latency, amortized at 16M+ rows.
+    int(jfn(cols))  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        int(jfn(a, av, b, bv))
+        int(jfn(cols))
     per_iter = (time.perf_counter() - t0) / iters
-    return n / per_iter
+    return K * n / per_iter
 
 
 def bench_hash_aggregate(n, iters, groups=64):

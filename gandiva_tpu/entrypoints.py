@@ -76,6 +76,39 @@ def flagship_step():
     return fn, example_args
 
 
+def flagship_stream():
+    """Device-resident multi-batch flagship pipeline (BASELINE configs[0]
+    at steady state): returns (jitted_fn, make_inputs) where jitted_fn runs
+    a ``lax.scan`` over K stacked batches with zero host round-trips
+    between batches and reduces every batch's outputs (selection indices +
+    count + projected column + validity) to one int64 checksum scalar —
+    all stages materialize on device, one scalar crosses the host link."""
+    from .compiler.projector import FilterProject
+
+    filt, proj = _flagship_plans()
+    fp = FilterProject.make(filt.schema, filt.condition, proj.exprs)
+
+    def consume(idx, count, packed):
+        value, valid = packed[0], packed[1]   # rebuilt f64 column + validity
+        return (count.astype(jnp.int64)
+                + jnp.sum(idx.astype(jnp.int64))
+                + jnp.sum(value).astype(jnp.int64)
+                + jnp.sum(valid.astype(jnp.int64)))
+
+    run = fp.stream_fn(consume)
+    jfn = jax.jit(lambda cols: jnp.sum(run(cols)))
+
+    def make_inputs(K: int, n: int, seed: int = 42):
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        a = jax.random.randint(k1, (K, n), 0, 1000, dtype=jnp.int64)
+        b = jax.random.uniform(k2, (K, n), dtype=jnp.float64)
+        ones = jnp.ones((K, n), dtype=bool)
+        return {"a": (a, ones), "b": (b, ones)}
+
+    return jfn, make_inputs
+
+
 def distributed_step(mesh, shuffle_capacity: int, num_groups: int = 64):
     """The full distributed query step, jitted over ``mesh``.
 

@@ -73,15 +73,19 @@ def group_ids(keys, valid=None, max_groups: int = 4096,
     table_key = jnp.zeros((T + 1,), dtype=jnp.int64)
     table_occ = jnp.zeros((T + 1,), dtype=bool)
     h0 = (hash32(keys) % jnp.uint32(T)).astype(jnp.int32)
+    # double hashing: odd stride (full cycle in the power-of-2 table) —
+    # each while_loop round is a full pass over every row, and linear
+    # probing's clusters make the MAX chain the cost driver
+    step = ((hash32(keys, jnp.uint32(0x9E37)) % jnp.uint32(T))
+            | jnp.uint32(1)).astype(jnp.int32)
 
     def cond(state):
-        i, _, _, unresolved, _ = state
+        i, _, _, _, unresolved, _ = state
         return jnp.logical_and(i < T, unresolved.any())
 
     def body(state):
-        i, table_key, table_occ, unresolved, slot_of = state
-        probe = ((h0 + i) % T).astype(jnp.int32)
-        slot = jnp.where(unresolved, probe, T)  # parked rows write the dump
+        i, pos, table_key, table_occ, unresolved, slot_of = state
+        slot = jnp.where(unresolved, pos, T)    # parked rows write the dump
         # claim unoccupied slots (last writer wins; occupancy write is
         # value-identical for all writers so the pair stays consistent)
         claim = unresolved & ~table_occ[slot]
@@ -91,12 +95,13 @@ def group_ids(keys, valid=None, max_groups: int = 4096,
         # re-read: settled if the slot now holds my key
         settled = unresolved & table_occ[slot] & (table_key[slot] == keys)
         slot_of = jnp.where(settled, slot, slot_of)
-        return (i + 1, table_key, table_occ, unresolved & ~settled, slot_of)
+        return (i + 1, (pos + step) % T, table_key, table_occ,
+                unresolved & ~settled, slot_of)
 
-    init = (jnp.int32(0), table_key, table_occ, valid,
+    init = (jnp.int32(0), h0, table_key, table_occ, valid,
             jnp.full((n,), T, dtype=jnp.int32))
     try:
-        _, table_key, table_occ, unresolved, slot_of = lax.while_loop(
+        _, _, table_key, table_occ, unresolved, slot_of = lax.while_loop(
             cond, body, init)
     except TypeError:
         # under shard_map the fresh table constants are axis-unvarying while
@@ -113,7 +118,7 @@ def group_ids(keys, valid=None, max_groups: int = 4096,
                 return lax.pvary(x, tuple(need))
 
         init = tuple(_pv(x) for x in init)
-        _, table_key, table_occ, unresolved, slot_of = lax.while_loop(
+        _, _, table_key, table_occ, unresolved, slot_of = lax.while_loop(
             cond, body, init)
     overflow = unresolved.any()
 

@@ -4,11 +4,13 @@ Behavioral oracle: pyarrow.acero's 'hashjoin' Declaration (SURVEY.md §2c,
 BASELINE configs[3] — 1B×10M skewed probe/build). TPU design under static
 shapes:
 
-- build side: sort by normalized key once (the "hash table" is a sorted
-  array — binary search is branch-free and vectorizes perfectly; duplicate
-  build keys become contiguous runs, so a probe match is a [lo, hi) range);
-- probe side: two vectorized ``searchsorted`` passes give per-probe match
-  ranges; match multiplicity = hi - lo;
+- build side: sort by normalized key once (duplicate build keys become
+  contiguous runs, so a probe match is a [lo, hi) range into sorted order),
+  then hash each run's FIRST row into an open-addressing table storing
+  (key limbs, run start, run length);
+- probe side: hashed linear-probe rounds resolve each probe key to its
+  (start, length) range in ~2 AoS gathers expected — replacing the older
+  log2(B) dependent ``searchsorted`` gathers (~11 s at 16M×1M on v5e);
 - output expansion: rows explode into a fixed-capacity (probe_idx,
   build_idx) pair buffer via exclusive-cumsum offsets + scatter of run
   starts + cummax fill — O(N + C) with no data-dependent shapes; capacity
@@ -98,9 +100,10 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
                           count, dup)
 
     # ---- build phase: sort build keys; key-invalid rows sort last --------
-    perm = sort_permutation(
-        [SortKey(build_keys, validity=build_kv, nulls_first=False)])
-    sorted_keys = normalize_key(build_keys)[perm]
+    from .sort import _sort_full
+
+    perm, (sorted_keys,) = _sort_full(
+        [SortKey(build_keys, validity=build_kv, nulls_first=False)], None)
     sorted_valid = build_kv[perm]
     sorted_exists = build_exists[perm]
     n_build_valid = jnp.sum(build_kv.astype(jnp.int32))
@@ -111,13 +114,11 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
     maxval = jnp.array(jnp.iinfo(sorted_keys.dtype).max, sorted_keys.dtype)
     sorted_keys = jnp.where(sorted_valid, sorted_keys, maxval)
 
-    # ---- probe phase: range lookup --------------------------------------
+    # ---- probe phase: hashed range lookup --------------------------------
     pk = normalize_key(probe_keys)
-    lo = jnp.searchsorted(sorted_keys, pk, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(sorted_keys, pk, side="right").astype(jnp.int32)
-    # clamp ranges to the valid prefix of the sorted build side
+    lo, ln = _hash_probe_ranges(pk, sorted_keys, n_build_valid, probe_kv)
+    hi = jnp.minimum(lo + ln, n_build_valid)
     lo = jnp.minimum(lo, n_build_valid)
-    hi = jnp.minimum(hi, n_build_valid)
     cnt = jnp.where(probe_kv, hi - lo, 0)
 
     if how == "semi":
@@ -202,16 +203,15 @@ def join_multi(probe_keys_list, build_keys_list, capacity: int,
     """Composite-key join: match on the first key column, then apply the
     remaining key equalities as a residual filter on the candidate pairs.
 
-    Exact for all join types here (inner/left/semi/anti): residual-failed
-    pairs are recomputed per probe row so outer emission and semi/anti
-    predicates see the composite-match truth. ``capacity`` bounds the
-    *first-key* candidate pairs (the worst case), so pick it for the most
-    selective column first.
+    Exact for all six join types: residual-failed pairs are recomputed per
+    probe row (and, for right/full, per build row via scatter-or hit flags)
+    so outer emission and semi/anti predicates see the composite-match
+    truth. ``capacity`` bounds the *first-key* candidate pairs (the worst
+    case), so pick it for the most selective column first.
     """
     how = how.lower()
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"join_multi supports inner/left/semi/anti, "
-                         f"got {how!r}")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(f"unknown join type {how!r}")
     k = len(probe_keys_list)
     assert len(build_keys_list) == k and k >= 1
     if probe_valids is None:
@@ -259,6 +259,45 @@ def join_multi(probe_keys_list, build_keys_list, capacity: int,
         jnp.where(match, pidx, np_)].max(1, mode="drop")[:np_] > 0
     exists = probe_exists if probe_exists is not None \
         else jnp.ones((np_,), dtype=bool)
+
+    if how in ("right", "full"):
+        from .compaction import compact_sort
+        C = cand.probe_idx.shape[0]
+        _, mcount, mpacked = compact_sort(match,
+                                          [cand.probe_idx, cand.build_idx])
+        probe_out, build_out = mpacked[0], mpacked[1]
+        total = mcount
+        if how == "full":
+            un_p = (~hit) & exists
+            uidx, ucount, _ = compact_sort(un_p)
+            r2 = jnp.arange(np_)
+            slot = jnp.where(r2 < ucount, r2 + total, C)
+            probe_out = jnp.concatenate(
+                [probe_out, jnp.zeros((1,), probe_out.dtype)]).at[slot].set(
+                    uidx.astype(probe_out.dtype), mode="drop")[:C]
+            build_out = jnp.concatenate(
+                [build_out, jnp.zeros((1,), build_out.dtype)]).at[slot].set(
+                    -1, mode="drop")[:C]
+            total = total + ucount
+        # build-level composite-match flags → unmatched build rows
+        bexists = build_exists if build_exists is not None \
+            else jnp.ones((nb,), dtype=bool)
+        bhit = jnp.zeros((nb + 1,), dtype=jnp.int32).at[
+            jnp.where(match, bidx, nb)].max(1, mode="drop")[:nb] > 0
+        un_b = (~bhit) & bexists
+        bids, bcount, _ = compact_sort(un_b)
+        r3 = jnp.arange(nb)
+        slot = jnp.where(r3 < bcount, r3 + total, C)
+        probe_out = jnp.concatenate(
+            [probe_out, jnp.zeros((1,), probe_out.dtype)]).at[slot].set(
+                -1, mode="drop")[:C]
+        build_out = jnp.concatenate(
+            [build_out, jnp.zeros((1,), build_out.dtype)]).at[slot].set(
+                bids.astype(build_out.dtype), mode="drop")[:C]
+        total = total + bcount
+        return JoinResult(probe_out, build_out,
+                          jnp.minimum(total, C).astype(jnp.int32),
+                          cand.overflow | (total > C))
     if how == "semi":
         from .compaction import compact_sort
         sel = hit & exists
@@ -294,6 +333,100 @@ def join_multi(probe_keys_list, build_keys_list, capacity: int,
                       cand.overflow | (total > C))
 
 
+def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
+                       table_factor: int = 4):
+    """Resolve each probe key to its duplicate-run [start, start+len) range
+    in the SORTED build order — the general-join probe.
+
+    Build: detect run starts in the sorted normalized keys (duplicates are
+    contiguous), compute run lengths via a suffix-min of start positions,
+    then insert one (key limbs, start, len) entry per run into an
+    open-addressing table with iterated claim/re-read scatter rounds (the
+    groupby.py convergence argument). Probe: hashed linear-probe rounds —
+    each round is ONE contiguous 16-byte AoS gather per probe row, vs the
+    former log2(B) dependent 64-bit ``searchsorted`` gathers (~11 s at
+    16M×1M on v5e). Expected rounds ≈ 2 at load ≤ 0.25.
+    """
+    from ..utils.bits import split_i64
+    from ..utils.hashing import hash32
+    from .groupby import table_size_for
+
+    nb = sorted_norm.shape[0]
+    np_ = pk_norm.shape[0]
+    T = table_size_for(nb, table_factor)
+    sk64 = sorted_norm.astype(jnp.int64)
+    slo, shi = split_i64(sk64)
+    slo_i, shi_i = slo.view(jnp.int32), shi.view(jnp.int32)
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    valid = iota < n_valid
+    prev_ne = jnp.concatenate([jnp.ones((1,), bool), sk64[1:] != sk64[:-1]])
+    is_start = valid & prev_ne
+    # strictly-next start position via reversed cummin, shifted one left;
+    # clamp to the valid prefix (a valid max-key run merges into the pinned
+    # sentinel tail — the clamp cuts it back)
+    start_pos = jnp.where(is_start, iota, jnp.int32(nb))
+    nxt = lax.cummin(start_pos[::-1])[::-1]
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), nb, jnp.int32)])
+    run_len = jnp.minimum(nxt, n_valid) - iota       # ≥ 1 at start rows
+
+    # double hashing: an odd per-key stride kills linear-probing clusters —
+    # the round count of each while_loop is the MAX chain over all keys, and
+    # every extra round costs one full gather pass over every row
+    h0 = (hash32(sk64) % jnp.uint32(T)).astype(jnp.int32)
+    step_b = ((hash32(sk64, jnp.uint32(0x9E37)) % jnp.uint32(T))
+              | jnp.uint32(1)).astype(jnp.int32)
+    table = jnp.zeros((T + 1, 4), dtype=jnp.int32)   # (lo, hi, start, len)
+    rows = jnp.stack([slo_i, shi_i, iota, run_len], axis=1)
+
+    def bcond(state):
+        i, _, _, unresolved = state
+        return jnp.logical_and(i < T, unresolved.any())
+
+    def bbody(state):
+        i, pos, table, unresolved = state
+        slot = jnp.where(unresolved, pos, T)
+        occ = table[slot, 3] > 0                      # len ≥ 1 ⇒ occupied
+        claim = unresolved & ~occ
+        table = table.at[jnp.where(claim, slot, T)].set(rows, mode="drop")
+        got = table[slot]
+        settled = unresolved & (got[:, 3] > 0) \
+            & (got[:, 0] == slo_i) & (got[:, 1] == shi_i)
+        return (i + 1, (pos + step_b) % T, table, unresolved & ~settled)
+
+    from ..utils import shard_compat
+
+    _, _, table, _ = shard_compat.while_loop(
+        bcond, bbody, (jnp.int32(0), h0, table, is_start))
+
+    pk64 = pk_norm.astype(jnp.int64)
+    plo, phi = split_i64(pk64)
+    plo_i, phi_i = plo.view(jnp.int32), phi.view(jnp.int32)
+    h0p = (hash32(pk64) % jnp.uint32(T)).astype(jnp.int32)
+    step_p = ((hash32(pk64, jnp.uint32(0x9E37)) % jnp.uint32(T))
+              | jnp.uint32(1)).astype(jnp.int32)
+
+    def pcond(state):
+        i, _, _, _, unresolved = state
+        return jnp.logical_and(i < T, unresolved.any())
+
+    def pbody(state):
+        i, pos, start, ln, unresolved = state
+        slot = jnp.where(unresolved, pos, T)
+        got = table[slot]
+        occ = got[:, 3] > 0
+        hit = occ & (got[:, 0] == plo_i) & (got[:, 1] == phi_i)
+        start = jnp.where(unresolved & hit, got[:, 2], start)
+        ln = jnp.where(unresolved & hit, got[:, 3], ln)
+        # resolved on hit or on an empty slot (key absent from build)
+        unresolved = unresolved & occ & ~hit
+        return (i + 1, (pos + step_p) % T, start, ln, unresolved)
+
+    _, _, start, ln, _ = shard_compat.while_loop(
+        pcond, pbody, (jnp.int32(0), h0p, jnp.zeros((np_,), jnp.int32),
+                       jnp.zeros((np_,), jnp.int32), probe_kv))
+    return start, ln
+
+
 def _hash_probe_unique(probe_keys, build_keys, probe_kv, build_kv):
     """Hash-table probe for UNIQUE build keys: returns (matched, build_idx)
     per probe row.
@@ -315,17 +448,20 @@ def _hash_probe_unique(probe_keys, build_keys, probe_kv, build_kv):
 
     bk64 = build_keys.astype(jnp.int64)
     blo, bhi = split_i64(bk64)
+    # double hashing (odd stride) — see _hash_probe_ranges
     h0b = (hash32(bk64) % jnp.uint32(T)).astype(jnp.int32)
+    step_b = ((hash32(bk64, jnp.uint32(0x9E37)) % jnp.uint32(T))
+              | jnp.uint32(1)).astype(jnp.int32)
 
     table = jnp.zeros((T + 1, 4), dtype=jnp.int32)
 
     def bcond(state):
-        i, _, unresolved = state
+        i, _, _, unresolved = state
         return jnp.logical_and(i < T, unresolved.any())
 
     def bbody(state):
-        i, table, unresolved = state
-        slot = jnp.where(unresolved, (h0b + i) % T, T)
+        i, pos, table, unresolved = state
+        slot = jnp.where(unresolved, pos, T)
         occ = table[slot, 3] > 0
         claim = unresolved & ~occ
         cslot = jnp.where(claim, slot, T)
@@ -337,10 +473,12 @@ def _hash_probe_unique(probe_keys, build_keys, probe_kv, build_kv):
         settled = unresolved & (got[:, 3] > 0) \
             & (got[:, 0] == blo.view(jnp.int32)) \
             & (got[:, 1] == bhi.view(jnp.int32))
-        return (i + 1, table, unresolved & ~settled)
+        return (i + 1, (pos + step_b) % T, table, unresolved & ~settled)
 
-    init = (jnp.int32(0), table, build_kv)
-    _, table, _ = lax.while_loop(bcond, bbody, init)
+    from ..utils import shard_compat
+
+    init = (jnp.int32(0), h0b, table, build_kv)
+    _, _, table, _ = shard_compat.while_loop(bcond, bbody, init)
     n_filled = jnp.sum((table[:T, 3] > 0).astype(jnp.int32))
     dup = n_filled < jnp.sum(build_kv.astype(jnp.int32))
 
@@ -348,14 +486,16 @@ def _hash_probe_unique(probe_keys, build_keys, probe_kv, build_kv):
     plo, phi = split_i64(pk64)
     plo_i, phi_i = plo.view(jnp.int32), phi.view(jnp.int32)
     h0p = (hash32(pk64) % jnp.uint32(T)).astype(jnp.int32)
+    step_p = ((hash32(pk64, jnp.uint32(0x9E37)) % jnp.uint32(T))
+              | jnp.uint32(1)).astype(jnp.int32)
 
     def pcond(state):
-        i, _, _, unresolved = state
+        i, _, _, _, unresolved = state
         return jnp.logical_and(i < T, unresolved.any())
 
     def pbody(state):
-        i, matched, bidx, unresolved = state
-        slot = jnp.where(unresolved, (h0p + i) % T, T)
+        i, pos, matched, bidx, unresolved = state
+        slot = jnp.where(unresolved, pos, T)
         got = table[slot]
         occ = got[:, 3] > 0
         hit = occ & (got[:, 0] == plo_i) & (got[:, 1] == phi_i)
@@ -363,9 +503,9 @@ def _hash_probe_unique(probe_keys, build_keys, probe_kv, build_kv):
         bidx = jnp.where(unresolved & hit, got[:, 2], bidx)
         # resolved if hit or slot empty (key absent)
         unresolved = unresolved & occ & ~hit
-        return (i + 1, matched, bidx, unresolved)
+        return (i + 1, (pos + step_p) % T, matched, bidx, unresolved)
 
-    pinit = (jnp.int32(0), jnp.zeros((np_,), bool),
+    pinit = (jnp.int32(0), h0p, jnp.zeros((np_,), bool),
              jnp.full((np_,), -1, jnp.int32), probe_kv)
-    _, matched, bidx, _ = lax.while_loop(pcond, pbody, pinit)
+    _, _, matched, bidx, _ = shard_compat.while_loop(pcond, pbody, pinit)
     return matched, bidx, dup

@@ -80,19 +80,45 @@ def normalize_key(values, ascending: bool = True):
     return u
 
 
-def sort_permutation(keys: Sequence[SortKey], length=None):
-    """Return the stable permutation (int32 indices) ordering rows by the
-    given keys; padding rows (index ≥ length) sort to the back.
+def denormalize_key(u, dtype, ascending: bool = True):
+    """Inverse of ``normalize_key`` — recover CANONICAL column values from
+    normalized unsigned lanes (−0.0 and NaN were canonicalized on the way
+    in, so those equality classes come back as their canonical member)."""
+    if not ascending:
+        u = ~u
 
-    Operand count is minimized aggressively: the bitonic network XLA emits
-    doubles per operand, and at 8M+ rows a 4-operand int64 sort failed to
-    compile in 20+ minutes on this toolchain while (rank, key, idx) compiles
-    in ~6 and runs 8M rows in ~400 ms. Padding/null bits fold into one
-    uint32 rank operand; payloads are *gathered* by the permutation
-    afterwards (sort_columns), never sorted along.
-    """
+    def inv_f32(bits_u32):
+        sign = jnp.uint32(0x8000_0000)
+        b = jnp.where(bits_u32 & sign != 0, bits_u32 ^ sign, ~bits_u32)
+        return b.view(jnp.float32)
+
+    if dtype == jnp.bool_:
+        return u.astype(jnp.bool_)
+    if dtype == jnp.float32:
+        return inv_f32(u.astype(jnp.uint32))
+    if dtype == jnp.float64:
+        from ..utils.bits import _backend_has_true_f64
+
+        if _backend_has_true_f64():
+            sign = jnp.uint64(1) << jnp.uint64(63)
+            b = jnp.where(u & sign != 0, u ^ sign, ~u)
+            return b.view(jnp.float64)
+        hi = inv_f32((u >> jnp.uint64(32)).astype(jnp.uint32))
+        lo = inv_f32((u & jnp.uint64(0xFFFF_FFFF)).astype(jnp.uint32))
+        return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    d = jnp.dtype(dtype)
+    if d in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16),
+             jnp.dtype(jnp.int32), jnp.dtype(jnp.int64)):
+        minval = -(1 << (d.itemsize * 8 - 1))
+        return u.astype(d) ^ jnp.array(minval, d)  # astype wraps: bits kept
+    return u.astype(d)  # unsigned
+
+
+def _build_operands(keys: Sequence[SortKey], length):
+    """Lexicographic sort operands + the operand index of each key's norm."""
     n = keys[0].values.shape[0]
     operands = []
+    key_opnd = []
     # leading rank: (padding << 1) | null-placement for the FIRST key —
     # both outrank the first key value in lexicographic priority
     first = keys[0]
@@ -107,6 +133,7 @@ def sort_permutation(keys: Sequence[SortKey], length=None):
                                 (~first.validity).astype(jnp.uint32))
         norm0 = jnp.where(first.validity, norm0, jnp.zeros_like(norm0))
     operands.append(rank)
+    key_opnd.append(len(operands))
     operands.append(norm0)
     for k in keys[1:]:
         norm = normalize_key(k.values, k.ascending)
@@ -115,11 +142,57 @@ def sort_permutation(keys: Sequence[SortKey], length=None):
                 else jnp.logical_not(k.validity)
             operands.append(null_rank)
             norm = jnp.where(k.validity, norm, jnp.zeros_like(norm))
+        key_opnd.append(len(operands))
         operands.append(norm)
+    return operands, key_opnd
+
+
+def _sort_full(keys: Sequence[SortKey], length):
+    """(perm, sorted norm per key). Operand count is minimized aggressively
+    — padding/null bits fold into one uint32 rank operand; payloads are
+    *gathered* by the permutation afterwards (sort_columns), never sorted
+    along. The sorted norms come back for free from either network, saving
+    sort_columns a 64-bit key re-gather."""
+    n = keys[0].values.shape[0]
+    operands, key_opnd = _build_operands(keys, length)
+    if _use_bitonic(n):
+        from ..utils.bits import combine_i64
+        from .kernels.sort_bitonic import bitonic_sort_u32, operands_to_limbs
+
+        limbs, spans = operands_to_limbs(operands)
+        perm, sorted_limbs = bitonic_sort_u32(limbs)
+        sorted_norms = []
+        for ki in key_opnd:
+            start, cnt = spans[ki]
+            if cnt == 2:
+                sorted_norms.append(combine_i64(sorted_limbs[start + 1],
+                                                sorted_limbs[start],
+                                                jnp.uint64))
+            else:
+                sorted_norms.append(
+                    sorted_limbs[start].astype(operands[ki].dtype))
+        return perm, sorted_norms
     idx = jnp.arange(n, dtype=jnp.int32)
     results = lax.sort(tuple(operands) + (idx,),
                        num_keys=len(operands), is_stable=True)
-    return results[-1]
+    return results[-1], [results[ki] for ki in key_opnd]
+
+
+def sort_permutation(keys: Sequence[SortKey], length=None):
+    """Return the stable permutation (int32 indices) ordering rows by the
+    given keys; padding rows (index ≥ length) sort to the back."""
+    perm, _ = _sort_full(keys, length)
+    return perm
+
+
+def _use_bitonic(n: int) -> bool:
+    """lax.sort's bitonic lowering compiles pathologically at 8M+ rows and
+    runs ~20 Mrows/s; the explicit hybrid network (kernels/sort_bitonic.py)
+    compiles in seconds and is HBM-bound. Below ~64k rows the pallas_call
+    fixed costs dominate and lax.sort is fine."""
+    import jax
+
+    return jax.default_backend() == "tpu" and n >= (1 << 16)
 
 
 def sort_columns(keys: Sequence[SortKey],
@@ -127,10 +200,19 @@ def sort_columns(keys: Sequence[SortKey],
                  length=None):
     """Sort key columns plus payload columns; returns (perm, sorted key
     value arrays, sorted payloads). Payloads move via 32-bit-limb gathers
-    (utils/bits.py), never as extra sort operands."""
+    (utils/bits.py), never as extra sort operands; key VALUES reconstruct
+    from the sorted norms (denormalize_key) — no key gather — except
+    nullable keys, whose null rows were norm-zeroed (their original values
+    are recovered by gather to match Arrow take semantics)."""
     from ..utils.bits import gather32
 
-    perm = sort_permutation(keys, length=length)
-    sorted_keys = [gather32(k.values, perm) for k in keys]
+    perm, sorted_norms = _sort_full(keys, length=length)
+    sorted_keys = []
+    for k, sn in zip(keys, sorted_norms):
+        if k.validity is not None:
+            sorted_keys.append(gather32(k.values, perm))
+        else:
+            sorted_keys.append(denormalize_key(sn, k.values.dtype,
+                                               k.ascending))
     sorted_payload = [gather32(p, perm) for p in payload]
     return perm, sorted_keys, sorted_payload

@@ -115,7 +115,8 @@ def test_gather_payload():
     assert got == [(10.0, 100.0), (20.0, 200.0), (90.0, None)]
 
 
-@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full",
+                                 "semi", "anti"])
 def test_join_multi_key(how):
     from gandiva_tpu.ops.hash_join import join_multi
 
@@ -136,6 +137,7 @@ def test_join_multi_key(how):
     pt = pa.table({"k1": p1, "k2": p2, "pv": np.arange(n)})
     bt = pa.table({"k1": b1, "k2": b2, "bv": np.arange(m)})
     how_map = {"inner": "inner", "left": "left outer",
+               "right": "right outer", "full": "full outer",
                "semi": "left semi", "anti": "left anti"}
     ores = pt.join(bt, keys=["k1", "k2"], join_type=how_map[how],
                    coalesce_keys=False).to_pylist()
@@ -143,11 +145,32 @@ def test_join_multi_key(how):
         got = sorted(int(x) for x in pi)
         expect = sorted(r["pv"] for r in ores)
     else:
-        got = sorted((int(a), int(b) if b >= 0 else -1)
-                     for a, b in zip(pi, bi))
-        expect = sorted((r["pv"], r["bv"] if r["bv"] is not None else -1)
+        got = sorted((int(a), int(b)) for a, b in zip(pi, bi))
+        expect = sorted((r["pv"] if r["pv"] is not None else -1,
+                         r["bv"] if r["bv"] is not None else -1)
                         for r in ores)
     assert got == expect, how
+
+
+def test_join_heavy_duplicate_runs():
+    """Dup-key stress for the hash-range probe: few distinct keys, long
+    duplicate runs on BOTH sides, differential vs pyarrow inner join."""
+    rng = np.random.default_rng(21)
+    n, m = 4000, 600
+    probe = rng.integers(0, 12, n).astype(np.int64)
+    build = rng.integers(0, 12, m).astype(np.int64)
+    res = join(jnp.asarray(probe), jnp.asarray(build), 512 * 1024, "inner")
+    assert not bool(res.overflow)
+    c = int(res.count)
+    got = sorted((int(a), int(b))
+                 for a, b in zip(np.asarray(res.probe_idx)[:c],
+                                 np.asarray(res.build_idx)[:c]))
+    pt = pa.table({"k": probe, "pv": np.arange(n)})
+    bt = pa.table({"k": build, "bv": np.arange(m)})
+    expect = sorted((r["pv"], r["bv"])
+                    for r in pt.join(bt, keys=["k"], join_type="inner",
+                                     coalesce_keys=False).to_pylist())
+    assert got == expect
 
 
 @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
