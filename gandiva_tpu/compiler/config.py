@@ -5,14 +5,39 @@ python surface gandiva.pyx:591-626): ``optimize`` (default True) and
 ``dump_ir`` (default False), as a small frozen object threaded through the
 compile entry points — never global mutable state (SURVEY.md §5.6).
 
-TPU mapping: ``optimize`` toggles XLA autotuning-friendly donation and keeps
-the persistent compilation cache on; ``dump_ir`` retains the lowered
-StableHLO/HLO text on the compiled object (the DumpIR analogue, exposed as
-``.hlo`` mirroring pyarrow's ``.llvm_ir``).
+TPU mapping: in the reference ``optimize=False`` skips the LLVM optimization
+pass pipeline — codegen still correct, just unoptimized. Here ``optimize=True``
+(default) compiles the plan with ``jax.jit`` and enables the persistent XLA
+compilation cache; ``optimize=False`` evaluates the traced program eagerly
+(op-by-op, no XLA fusion pipeline, no persistent cache) — the same semantic
+split: identical results, optimization pipeline off. ``dump_ir`` retains the
+lowered StableHLO/HLO text on the compiled object (the DumpIR analogue,
+exposed as ``.hlo`` mirroring pyarrow's ``.llvm_ir``).
 """
 from __future__ import annotations
 
 import dataclasses
+import os
+
+_CACHE_ENABLED = False
+
+
+def enable_persistent_cache() -> None:
+    """Process-wide persistent XLA compilation cache (SURVEY.md §5.4: the
+    LLVM-module cache analogue). Idempotent; called at Make time for any
+    plan whose Configuration has ``optimize=True``."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _CACHE_ENABLED = True
 
 
 @dataclasses.dataclass(frozen=True)

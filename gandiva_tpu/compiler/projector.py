@@ -61,8 +61,24 @@ class _CompiledPlan:
         self._thunks: Optional[List[Callable]] = None
         self._out_dict_thunks: Optional[List[Optional[Callable]]] = None
         self._hlo_text: Optional[str] = None
-        self._jit = jax.jit(self._run)
-        self._jit_sel = jax.jit(self._run_selected)
+        # Configuration.optimize — reference semantics (gandiva.pyx:591-608):
+        # True runs the full optimization pipeline (here: jax.jit → XLA
+        # fusion + persistent compile cache); False skips it (here: eager
+        # op-by-op evaluation — identical results, no compile pipeline).
+        self._jit_lower = jax.jit(self._run)  # always available for dump_hlo
+        if config.optimize:
+            from .config import enable_persistent_cache
+            enable_persistent_cache()
+            self._jit = self._jit_lower
+            self._jit_sel = jax.jit(self._run_selected)
+        else:
+            def _eager(fn):
+                def call(*a):
+                    with jax.disable_jit():
+                        return fn(*a)
+                return call
+            self._jit = _eager(self._run)
+            self._jit_sel = _eager(self._run_selected)
         self._seed = 0
         # per-operator observability (SURVEY.md §5.5): host-side counters
         self.stats = {"evaluations": 0, "rows_in": 0, "rows_out": 0}
@@ -180,9 +196,9 @@ class _CompiledPlan:
         jit-lowered main computation here)."""
         if self._hlo_text is None and batch is not None:
             tables = self._tables_for(batch)
-            lowered = self._jit.lower(self._cols_of(batch),
-                                      jnp.int32(batch.length), tables,
-                                      self._next_key())
+            lowered = self._jit_lower.lower(self._cols_of(batch),
+                                            jnp.int32(batch.length), tables,
+                                            self._next_key())
             self._hlo_text = lowered.as_text()
         return self._hlo_text or ""
 
@@ -247,8 +263,25 @@ class Projector(_CompiledPlan):
             outs = self._jit(cols, jnp.int32(batch.length), tables, key)
             length = batch.length
         else:
+            # Reference contract (libgandiva.pxd:238, projector.cc): a
+            # Projector compiled with a SelectionMode evaluates only with a
+            # matching-mode selection vector; mode NONE compiles the dense
+            # kernel only. The mode specializes the traced kernel via the
+            # index dtype (uint16/32/64 input → distinct jit specialization).
+            from .selection import _MODE_DTYPE
+            if self.selection_mode is SelectionMode.NONE:
+                raise ValueError(
+                    "projector built with selection_mode=NONE cannot "
+                    "evaluate with a selection vector; rebuild with the "
+                    "matching SelectionMode")
+            if selection.mode is not self.selection_mode:
+                raise ValueError(
+                    f"selection vector mode {selection.mode.value} does not "
+                    f"match projector selection_mode "
+                    f"{self.selection_mode.value}")
+            idx = selection.indices.astype(_MODE_DTYPE[self.selection_mode])
             outs = self._jit_sel(cols, jnp.int32(batch.length), tables, key,
-                                 selection.indices, selection.count)
+                                 idx, selection.count)
             length = int(jax.device_get(selection.count))
         self.stats["evaluations"] += 1
         self.stats["rows_in"] += batch.length

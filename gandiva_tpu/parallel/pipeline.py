@@ -62,6 +62,7 @@ def build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
         # 1. filter (expression-engine mask; padding-free inputs here)
         keep = oa > filter_threshold
         metrics["filter_out"] = jnp.sum(keep.astype(jnp.int64))
+        n_keep = metrics["filter_out"]
 
         # 2. skew-aware join orders ⋈ dim
         res, cols, row_ok, ov_join = dist_join_skewed(
@@ -82,6 +83,16 @@ def build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
             AXIS, capacity=out_cap, max_groups=G)
         metrics["agg_groups"] = agg["group_count"].astype(jnp.int64)
         overflow = ov_join | agg["overflow"]
+
+        # bytes shuffled over ICI (SURVEY.md §5.5): every surviving probe
+        # row crosses the join exchange carrying (key i64 + amt payload),
+        # every joined row crosses the aggregate exchange carrying
+        # (seg key i64 + amt). Validity travels as one byte per row.
+        row_bytes_join = 8 + oa.dtype.itemsize + 1
+        row_bytes_agg = 8 + amt.dtype.itemsize + 1
+        metrics["bytes_shuffled"] = (
+            n_keep * row_bytes_join
+            + metrics["join_out"] * row_bytes_agg)
 
         # 4. global sort of group rows (tiny): gather every shard's groups
         gkeys = agg["keys"][:G]
@@ -108,24 +119,79 @@ def build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
         in_specs=(P(AXIS),) * 4,
         out_specs=(P(), P(), P(), P(AXIS), P(AXIS),
                    {k: P(AXIS) for k in ["rows_in", "filter_out",
-                                         "join_out", "agg_groups"]}),
+                                         "join_out", "agg_groups",
+                                         "bytes_shuffled"]}),
         # the sorted group table is identical on every shard (all_gather +
         # deterministic local sort) but the checker can't infer that
         check_vma=False)
     return jax.jit(fn)
 
 
+class PipelineOverflowError(RuntimeError):
+    """Capacity overflow surfaced from a fixed-capacity exchange — the
+    Status-style contract (SURVEY.md §5.3): device code never resizes;
+    it flags, and the host retries with doubled capacity."""
+
+
 def run_pipeline(jitted, orders_key, orders_amt, dim_key, dim_seg,
                  mesh: Mesh):
-    """Host driver: shard inputs, run, unpack results + metrics."""
+    """Host driver: shard inputs, run, unpack results + metrics.
+
+    Metrics (SURVEY.md §5.5): per-operator row counts, bytes_shuffled
+    (summed over shards), wall_time_s and rows_per_s for the whole step
+    (fetch-synchronized; per-operator wall time inside ONE fused XLA
+    program is not separable — per-plan timing lives on each compiled
+    plan's ``stats``)."""
+    import time
+
     sh = NamedSharding(mesh, P(AXIS))
     args = [jax.device_put(jnp.asarray(x), sh)
             for x in (orders_key, orders_amt, dim_key, dim_seg)]
+    t0 = time.perf_counter()
     skeys, ssum, scount, n_groups, overflow, metrics = jitted(*args)
-    ng = int(np.asarray(n_groups)[0])
+    n_groups_h = np.asarray(n_groups)          # fetch = sync point
+    wall = time.perf_counter() - t0
+    ng = int(n_groups_h[0])
     if bool(np.asarray(overflow).any()):
-        raise RuntimeError("pipeline capacity overflow — rerun with larger "
-                           "shuffle_factor/out_factor")
+        raise PipelineOverflowError(
+            "pipeline capacity overflow — rerun with larger "
+            "shuffle_factor/out_factor")
     host_metrics = {k: int(np.asarray(v).sum()) for k, v in metrics.items()}
+    host_metrics["wall_time_s"] = wall
+    host_metrics["rows_per_s"] = host_metrics["rows_in"] / max(wall, 1e-9)
     return (np.asarray(skeys)[:ng], np.asarray(ssum)[:ng],
             np.asarray(scount)[:ng], host_metrics)
+
+
+def run_pipeline_with_retry(mesh: Mesh, orders_key, orders_amt, dim_key,
+                            dim_seg, num_groups: int = 64,
+                            filter_threshold: int = 50,
+                            shuffle_factor: int = 3, out_factor: int = 4,
+                            max_retries: int = 3, **kw):
+    """Overflow→retry driver (SURVEY.md §7 hard part #1): compile + run the
+    pipeline; on a capacity-overflow flag, double both capacity factors and
+    recompile (the reference's Status-propagation analogue — the retry is a
+    HOST decision, device programs stay static-shaped). Each retry costs one
+    recompile; steady-state queries land on the first try and reuse the
+    cached jit."""
+    n_dev = mesh.devices.size
+    nper = int(np.asarray(orders_key).shape[0]) // n_dev
+    build_per = int(np.asarray(dim_key).shape[0]) // n_dev
+    sf, of = shuffle_factor, out_factor
+    last: Optional[PipelineOverflowError] = None
+    for attempt in range(max_retries + 1):
+        jitted = build_filter_join_agg_sort(
+            mesh, nper, build_per, num_groups=num_groups,
+            filter_threshold=filter_threshold, shuffle_factor=sf,
+            out_factor=of, **kw)
+        try:
+            keys, sums, counts, metrics = run_pipeline(
+                jitted, orders_key, orders_amt, dim_key, dim_seg, mesh)
+            metrics["retries"] = attempt
+            metrics["shuffle_factor"] = sf
+            metrics["out_factor"] = of
+            return keys, sums, counts, metrics
+        except PipelineOverflowError as e:
+            last = e
+            sf, of = sf * 2, of * 2
+    raise last

@@ -33,7 +33,8 @@ def test_fused_equals_unfused():
     dev = g.from_arrow(batch)
 
     sel1 = g.make_filter(schema, cond).evaluate(dev)
-    (out1,) = g.make_projector(schema, [expr]).evaluate(dev, selection=sel1)
+    (out1,) = g.make_projector(schema, [expr], g.SelectionMode.UINT32) \
+        .evaluate(dev, selection=sel1)
 
     fp = g.make_filter_project(schema, cond, [expr])
     sel2, (out2,) = fp.evaluate(dev)

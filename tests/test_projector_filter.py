@@ -304,3 +304,56 @@ def test_in_expr_extended_types():
     sel = g.make_filter(schema_t, B.make_condition(node),
                         use_cache=False).evaluate(batch)
     np.testing.assert_array_equal(sel.to_numpy(), [1, 2])
+
+
+def test_configuration_optimize_flag():
+    """Configuration.optimize=False evaluates eagerly (no XLA optimization
+    pipeline) with identical results — reference semantics: optimize=False
+    skips the LLVM opt passes but stays correct (gandiva.pyx:591-608)."""
+    fa = dt.Field("a", dt.int32)
+    schema = dt.Schema([fa])
+    na = B.make_field(fa)
+    two = B.make_literal(2, dt.int32)
+    expr = B.make_expression(B.make_function("multiply", [na, two], dt.int32),
+                             dt.Field("r", dt.int32))
+
+    cfg_off = g.ConfigurationBuilder().with_optimize(False).build()
+    p_opt = g.make_projector(schema, [expr])
+    p_raw = g.make_projector(schema, [expr], config=cfg_off)
+    assert p_raw._jit is not p_raw._jit_lower     # eager path installed
+    assert p_opt._jit is p_opt._jit_lower         # jitted path installed
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, None, 3], type=pa.int32())], names=["a"])
+    (r1,) = p_opt.evaluate(batch)
+    (r2,) = p_raw.evaluate(batch)
+    assert r1.equals(r2)
+    assert r1.equals(pa.array([2, None, 6], type=pa.int32()))
+
+
+def test_selection_mode_enforced():
+    """Reference contract: a Projector compiled without a SelectionMode
+    rejects selection-vector evaluation; modes must match
+    (libgandiva.pxd:238, test_gandiva.py:358-373)."""
+    fa = dt.Field("a", dt.int32)
+    schema = dt.Schema([fa])
+    na = B.make_field(fa)
+    expr = B.make_expression(na, dt.Field("r", dt.int32))
+    cond = g.TreeExprBuilder.make_condition(
+        B.make_function("greater_than", [na, B.make_literal(1, dt.int32)],
+                        dt.bool_))
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2, 3], type=pa.int32())], names=["a"])
+
+    sel16 = g.make_filter(schema, cond).evaluate(batch, g.SelectionMode.UINT16)
+    p_none = g.make_projector(schema, [expr])
+    with pytest.raises(ValueError, match="selection_mode=NONE"):
+        p_none.evaluate(batch, selection=sel16)
+
+    p32 = g.make_projector(schema, [expr], g.SelectionMode.UINT32)
+    with pytest.raises(ValueError, match="does not match"):
+        p32.evaluate(batch, selection=sel16)
+
+    p16 = g.make_projector(schema, [expr], g.SelectionMode.UINT16)
+    (r,) = p16.evaluate(batch, selection=sel16)
+    assert r.equals(pa.array([2, 3], type=pa.int32()))
