@@ -31,10 +31,22 @@ def enable_persistent_cache() -> None:
         return
     import jax
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
+    # never clobber a cache the user already configured (jax config or env)
+    if (jax.config.jax_compilation_cache_dir
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+        _CACHE_ENABLED = True
+        return
+    cache_dir = os.environ.get(
+        "GANDIVA_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gandiva_tpu",
+                     "jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        # read-only install or unwritable HOME: degrade to no persistent
+        # cache rather than failing every Make
+        _CACHE_ENABLED = True
+        return
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _CACHE_ENABLED = True

@@ -112,10 +112,16 @@ def flagship_stream():
 def distributed_step(mesh, shuffle_capacity: int, num_groups: int = 64):
     """The full distributed query step, jitted over ``mesh``.
 
-    Per shard: filter (expression engine) → shuffle by key hash → grouped
-    sum/count aggregation over received rows → psum row stats. Returns a
-    jitted fn(keys, vals, valid) with inputs sharded over the partition axis.
+    Per shard: filter (expression engine) → shuffle by key hash → real
+    ``hash_aggregate`` (GROUP BY key, sum+count) over received rows →
+    psum row stats. Returns a jitted fn(keys, vals, valid) with inputs
+    sharded over the partition axis; per-shard outputs are
+    (group_keys, sums, counts, group_count) plus replicated
+    (total_rows, overflow). Keys are co-located after the hash shuffle, so
+    per-shard groups are globally disjoint — no cross-shard combine needed.
     """
+    from .ops.hash_aggregate import hash_aggregate
+
     filt, proj = _flagship_plans()
     axis = meshmod.PARTITION_AXIS
 
@@ -133,18 +139,25 @@ def distributed_step(mesh, shuffle_capacity: int, num_groups: int = 64):
         flat, fvalid, overflow = shuffle_by_key(
             sel_keys, row_ok & proj_valid,
             {"key": sel_keys, "val": proj_val}, axis, shuffle_capacity)
-        # 3. per-shard grouped aggregation (keys co-located after shuffle)
-        gid = (flat["key"] % num_groups).astype(jnp.int32)
-        gid = jnp.where(fvalid, gid, num_groups)
-        gsum = jnp.zeros((num_groups + 1,), proj_val.dtype).at[gid].add(
-            jnp.where(fvalid, flat["val"], 0.0))[:num_groups]
-        gcount = jnp.zeros((num_groups + 1,), jnp.int64).at[gid].add(1)[:num_groups]
+        # 3. per-shard grouped aggregation via the real operator
+        res = hash_aggregate(flat["key"],
+                             [("val", "sum"), ("val", "count")],
+                             {"val": (flat["val"], None)},
+                             row_valid=fvalid, max_groups=num_groups,
+                             group_null_keys=False)
+        gkeys = res["keys"][:num_groups]
+        gsum = res["agg:val:sum"][:num_groups]
+        gcount = res["agg:val:count"][:num_groups]
         # 4. global row stats over the mesh
         total_rows = jax.lax.psum(jnp.sum(fvalid.astype(jnp.int64)), axis)
-        return gsum, gcount, total_rows, overflow
+        agg_ovf = jax.lax.pmax(res["overflow"].astype(jnp.int32), axis) > 0
+        # group_count is a rank-0 per-shard scalar; shard_map out_specs
+        # over the partition axis need ≥1 axis to concatenate along
+        return (gkeys, gsum, gcount, res["group_count"][None], total_rows,
+                overflow | agg_ovf)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(), P()))
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()))
     return jax.jit(fn)

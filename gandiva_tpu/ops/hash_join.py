@@ -367,7 +367,11 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     start_pos = jnp.where(is_start, iota, jnp.int32(nb))
     nxt = lax.cummin(start_pos[::-1])[::-1]
     nxt = jnp.concatenate([nxt[1:], jnp.full((1,), nb, jnp.int32)])
-    run_len = jnp.minimum(nxt, n_valid) - iota       # ≥ 1 at start rows
+    # n_valid may arrive as a traced int64 scalar under x64; pin i32 so the
+    # stacked table rows stay i32 (an i64 row would FutureWarning — and soon
+    # error — on the .at[].set scatter into the i32 table)
+    run_len = (jnp.minimum(nxt, jnp.asarray(n_valid).astype(jnp.int32))
+               - iota)                               # ≥ 1 at start rows
 
     # double hashing: an odd per-key stride kills linear-probing clusters —
     # the round count of each while_loop is the MAX chain over all keys, and

@@ -30,6 +30,9 @@ from .ops import dist_hash_aggregate, dist_join_skewed
 AXIS = meshmod.PARTITION_AXIS
 
 
+_PIPELINE_CACHE: Dict[tuple, object] = {}
+
+
 def build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
                                num_groups: int = 64,
                                filter_threshold: int = 50,
@@ -37,7 +40,30 @@ def build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
                                out_factor: int = 4,
                                num_hot: int = 64,
                                hot_capacity: int = 2048):
-    """Compile the canonical pipeline over ``mesh``.
+    """Compile the canonical pipeline over ``mesh``. Memoized on
+    (mesh, every shape/config param) so steady-state queries reuse the
+    cached jit — a fresh closure per call would retrace and recompile,
+    charging compile time to every run's wall clock."""
+    cache_key = (mesh, nper, build_per, num_groups, filter_threshold,
+                 shuffle_factor, out_factor, num_hot, hot_capacity)
+    hit = _PIPELINE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    fn = _build_filter_join_agg_sort(mesh, nper, build_per, num_groups,
+                                     filter_threshold, shuffle_factor,
+                                     out_factor, num_hot, hot_capacity)
+    _PIPELINE_CACHE[cache_key] = fn
+    return fn
+
+
+def _build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
+                                num_groups: int = 64,
+                                filter_threshold: int = 50,
+                                shuffle_factor: int = 3,
+                                out_factor: int = 4,
+                                num_hot: int = 64,
+                                hot_capacity: int = 2048):
+    """Build + jit the canonical pipeline over ``mesh``.
 
     Query shape (TPC-H-flavored):
         SELECT g.seg, SUM(o.amt), COUNT(*)
@@ -84,10 +110,13 @@ def build_filter_join_agg_sort(mesh: Mesh, nper: int, build_per: int,
         metrics["agg_groups"] = agg["group_count"].astype(jnp.int64)
         overflow = ov_join | agg["overflow"]
 
-        # bytes shuffled over ICI (SURVEY.md §5.5): every surviving probe
-        # row crosses the join exchange carrying (key i64 + amt payload),
-        # every joined row crosses the aggregate exchange carrying
-        # (seg key i64 + amt). Validity travels as one byte per row.
+        # bytes shuffled over ICI (SURVEY.md §5.5) — documented UPPER BOUND:
+        # counts every surviving probe row through the join exchange (key
+        # i64 + amt payload) and every joined row through the aggregate
+        # exchange (seg i64 + amt), with validity as one byte per row.
+        # Actual ICI traffic is lower: hot-key probe rows are served from
+        # the replicated build table and never enter the all_to_all, and
+        # rows hashed to their own shard stay on-chip.
         row_bytes_join = 8 + oa.dtype.itemsize + 1
         row_bytes_agg = 8 + amt.dtype.itemsize + 1
         metrics["bytes_shuffled"] = (
@@ -195,3 +224,61 @@ def run_pipeline_with_retry(mesh: Mesh, orders_key, orders_amt, dim_key,
             last = e
             sf, of = sf * 2, of * 2
     raise last
+
+
+def measure_scaling_efficiency(device_counts, total_rows: int,
+                               total_build: int, num_groups: int = 16,
+                               seed: int = 0, repeats: int = 3, **kw):
+    """configs[4] scaling-efficiency harness (BASELINE.md: target ≥75% at
+    ≥2 hosts, measured at 1 chip / 1 host / N hosts).
+
+    Strong scaling: the SAME total table (``total_rows`` orders ×
+    ``total_build`` dim rows, fixed seed) runs over meshes of each size in
+    ``device_counts``; per size the pipeline compiles once (memoized jit),
+    then the best of ``repeats`` steady-state walls is recorded.
+    efficiency(n) = T(1) / (n · T(n)) — 1.0 is perfect linear scaling.
+
+    Returns a list of {"n_devices", "wall_s", "rows_per_s", "efficiency"}.
+    On the virtual CPU mesh this validates the harness + accounting (the
+    collectives are loopback); physical efficiency numbers require a real
+    multi-chip slice.
+    """
+    import time
+
+    counts = sorted(set(int(n) for n in device_counts))
+    max_n = counts[-1]
+    assert total_rows % max_n == 0 and total_build % max_n == 0, \
+        "total work must divide every mesh size"
+    rng = np.random.default_rng(seed)
+    orders_key = (rng.zipf(1.4, total_rows) % (total_build * 2)) \
+        .astype(np.int64)
+    orders_amt = rng.integers(1, 100, total_rows).astype(np.int64)
+    dim_key = rng.permutation(total_build * 2)[:total_build] \
+        .astype(np.int64)
+    dim_seg = rng.integers(0, num_groups, total_build).astype(np.int64)
+
+    results = []
+    wall_1 = None
+    for n in counts:
+        devices = jax.devices()[:n]
+        if len(devices) < n:
+            break
+        mesh = jax.make_mesh((n,), (AXIS,), devices=devices)
+        jitted = build_filter_join_agg_sort(
+            mesh, total_rows // n, total_build // n,
+            num_groups=num_groups, **kw)
+        # compile + warm once, then take the best steady-state wall
+        run_pipeline(jitted, orders_key, orders_amt, dim_key, dim_seg, mesh)
+        best = None
+        for _ in range(repeats):
+            _, _, _, metrics = run_pipeline(
+                jitted, orders_key, orders_amt, dim_key, dim_seg, mesh)
+            w = metrics["wall_time_s"]
+            best = w if best is None else min(best, w)
+        if wall_1 is None:
+            wall_1 = best * counts[0]  # normalize if counts[0] != 1
+        eff = wall_1 / (n * best)
+        results.append({"n_devices": n, "wall_s": best,
+                        "rows_per_s": total_rows / best,
+                        "efficiency": eff})
+    return results
