@@ -154,20 +154,30 @@ def main():
         return int(n_env) if n_env else default
 
     MI = 1024 * 1024
+    # Essential-bytes-per-row models for the roofline column: the HBM
+    # traffic an IDEAL implementation of each operator must move (inputs
+    # once + essential outputs), NOT what this implementation moves.
+    # v5e HBM ~819 GB/s. filter+project: a i64 + b f64 in, selection u32 +
+    # projected f64 out at ~50% selectivity -> 16 + 6 = 22. agg: keys+vals
+    # in, output negligible -> 16. sort: keys+payload read AND written once
+    # -> 32. join: probe keys in + (probe_idx, build_idx) out -> 16.
+    HBM_BYTES_PER_S = 819e9
     plans = {
-        # op: (runner, default_rows, CPU-baseline rows/s — BASELINE.md)
+        # op: (runner, default_rows, CPU-baseline rows/s — BASELINE.md,
+        #      essential bytes/row)
         "filter_project": (lambda n: bench_filter_project(n, iters),
-                           16 * MI, 23.7e6),
-        "agg": (lambda n: bench_hash_aggregate(n, iters), 96 * MI, 127.6e6),
-        "sort": (lambda n: bench_sort(n, iters), 64 * MI, 1.3e6),
+                           16 * MI, 23.7e6, 22),
+        "agg": (lambda n: bench_hash_aggregate(n, iters),
+                100_000_000, 127.6e6, 16),
+        "sort": (lambda n: bench_sort(n, iters), 100_000_000, 1.3e6, 32),
         "join": (lambda n: bench_join(
             n, int(os.environ.get("BENCH_BUILD_ROWS", 1024 * 1024)), iters),
-            64 * MI, 3.4e6),
+            100_000_000, 3.4e6, 16),
     }
     selected = list(plans) if only == "all" else [only]
     results = {}
     for op in selected:
-        runner, default_n, baseline = plans[op]
+        runner, default_n, baseline, bpr = plans[op]
         try:
             rows_per_s = runner(rows(default_n))
         except Exception as e:  # surface per-op failures, keep benching
@@ -177,11 +187,14 @@ def main():
                   flush=True)
             results[op] = {"rows_per_s": 0, "vs_baseline": 0}
             continue
+        pct_roofline = 100.0 * rows_per_s * bpr / HBM_BYTES_PER_S
         line = {"metric": f"{op}_rows_per_s", "value": rows_per_s,
-                "unit": "rows/s", "vs_baseline": rows_per_s / baseline}
+                "unit": "rows/s", "vs_baseline": rows_per_s / baseline,
+                "pct_hbm_roofline": round(pct_roofline, 2)}
         print(json.dumps(line), flush=True)
         results[op] = {"rows_per_s": rows_per_s,
-                       "vs_baseline": rows_per_s / baseline}
+                       "vs_baseline": rows_per_s / baseline,
+                       "pct_hbm_roofline": round(pct_roofline, 2)}
     if len(selected) > 1:
         ratios = [r["vs_baseline"] for r in results.values()]
         geomean = (float(__import__("math").prod(ratios)) ** (1 / len(ratios))

@@ -111,15 +111,17 @@ def _pallas_eligible(keys, aggs, values, max_groups: int,
 
 def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
                            max_groups: int, group_null_keys: bool,
-                           interpret: bool):
+                           interpret: bool, has_null_path: bool = True):
     """Decode layer over kernels/agg_pallas.aggregate_pallas matching the
     hash_aggregate output contract (same dict keys, dtypes, identities)."""
     from ..utils.bits import split_i64
     from .kernels import agg_pallas as ak
 
     n = keys.shape[0]
+    Gcap = ak.capacity_for(max_groups)
     in_table = row_valid & key_valid
-    null_rows = (row_valid & ~key_valid) if group_null_keys \
+    has_null_path = has_null_path and group_null_keys
+    null_rows = (row_valid & ~key_valid) if has_null_path \
         else jnp.zeros((n,), bool)
     kv = jnp.where(null_rows, jnp.int32(2),
                    jnp.where(in_table, jnp.int32(1), jnp.int32(0)))
@@ -178,25 +180,27 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
         value_limbs = [tuple(padz(a) for a in limbs)
                        for limbs in value_limbs]
 
-    tbl, cnt, ovf, per = ak.aggregate_pallas(kv, klo, khi, value_limbs,
-                                             specs, interpret=interpret)
+    tbl, cnt, ovf, per = ak.aggregate_pallas(
+        kv, klo, khi, value_limbs, specs, max_groups=max_groups,
+        has_null_path=has_null_path, interpret=interpret)
 
     G_out = max_groups + 1
     slots = jnp.arange(G_out)
     per_by_name = dict(zip(col_order, per))
-    count_all_any = ak.counts_from(per[0][0])[0]          # [GP]
-    has_null = (count_all_any[ak.G] > 0) if group_null_keys \
+    count_all_any = ak.counts_from(per[0])[0]             # [Gcap+8]
+    has_null = (count_all_any[Gcap] > 0) if has_null_path \
         else jnp.array(False)
     overflow = (ovf > 0) | (cnt > max_groups)
 
     def place(decoded):
-        """[GP] kernel slots → [G_out] output slots: real groups 0..cnt-1
-        keep position (unused slots already hold the empty-group identity),
-        the null group moves from reserved slot G to dense slot cnt."""
+        """[Gcap+8] kernel slots → [G_out] output slots: real groups
+        0..cnt-1 keep position (unused slots already hold the empty-group
+        identity), the null group moves from reserved slot Gcap to dense
+        slot cnt."""
         base = decoded[:G_out] if decoded.shape[0] >= G_out else \
             jnp.concatenate([decoded, jnp.full(
                 (G_out - decoded.shape[0],), decoded[-1], decoded.dtype)])
-        return jnp.where((slots == cnt) & has_null, decoded[ak.G], base)
+        return jnp.where((slots == cnt) & has_null, decoded[Gcap], base)
 
     uniq64 = ak.keys_from_table(tbl)                      # [G]
     if uniq64.shape[0] < G_out:
@@ -211,8 +215,8 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
     for name, kind in aggs:
         cname = "__rows__" if kind == "count_all" and name not in \
             per_by_name else name
-        cnts, sums, minmax = per_by_name[cname]
-        call, cval = ak.counts_from(cnts)
+        acc = per_by_name[cname]
+        call, cval = ak.counts_from(acc)
         if kind == "count_all":
             out[f"agg:{name}:count_all"] = place(call)
             continue
@@ -220,7 +224,7 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
         if kind == "count":
             out[f"agg:{name}:count"] = place(cval)
         elif kind in ("sum", "mean"):
-            s = place(ak.sum_from(sums))
+            s = place(ak.sum_from(acc))
             if kind == "sum":
                 out[f"agg:{name}:sum"] = s
             else:
@@ -228,7 +232,7 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
                 r = s.astype(jnp.float64) / jnp.maximum(c, 1)
                 out[f"agg:{name}:mean"] = jnp.where(c > 0, r, jnp.nan)
         else:  # min / max
-            mn, mx = ak.minmax_from(minmax)
+            mn, mx = ak.minmax_from(acc)
             d = place(mn if kind == "min" else mx)
             if vdt != jnp.int64:
                 # narrow dtype: swap the int64 empty-group sentinel for the
@@ -258,6 +262,9 @@ def hash_aggregate(keys, aggs: Sequence[Tuple[str, str]],
     group_count-1 with key_is_null set. Fully traceable (jit/shard_map-safe).
     """
     n = keys.shape[0]
+    # static: when no key validity exists, the kernel's null-group path
+    # (SMEM scalar reductions per block) is compiled out entirely
+    keys_maybe_null = key_valid is not None
     if row_valid is None:
         row_valid = jnp.ones((n,), dtype=bool)
     if key_valid is None:
@@ -270,7 +277,8 @@ def hash_aggregate(keys, aggs: Sequence[Tuple[str, str]],
                      or jax.default_backend() != "tpu")
         return _hash_aggregate_pallas(keys, aggs, values, key_valid,
                                       row_valid, max_groups,
-                                      group_null_keys, interpret)
+                                      group_null_keys, interpret,
+                                      has_null_path=keys_maybe_null)
 
     in_table = row_valid & key_valid
     if max_groups <= 256:
