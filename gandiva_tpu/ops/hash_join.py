@@ -143,9 +143,14 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
     r = jnp.arange(C, dtype=jnp.int32)
     in_probe_part = r < total_probe_part
     p = jnp.clip(slot_probe, 0, np_ - 1)
-    j = r - offsets[p]
-    matched = cnt[p] > 0
-    bsorted = jnp.clip(lo[p] + j, 0, nb - 1)
+    # one packed AoS row gather instead of three element gathers — random-
+    # access passes cost ~137 ms each at 16M rows on v5e, width ≤ 4 is free
+    aux = jnp.stack([offsets.astype(jnp.int32), cnt.astype(jnp.int32),
+                     lo.astype(jnp.int32)], axis=1)           # [np, 3]
+    g = aux[p]                                                # [C, 3]
+    j = r - g[:, 0]
+    matched = g[:, 1] > 0
+    bsorted = jnp.clip(g[:, 2] + j, 0, nb - 1)
     build_out = jnp.where(matched, perm[bsorted].astype(jnp.int32), -1)
     if how in ("semi", "anti"):
         build_out = jnp.full((C,), -1, dtype=jnp.int32)
@@ -333,24 +338,32 @@ def join_multi(probe_keys_list, build_keys_list, capacity: int,
                       cand.overflow | (total > C))
 
 
+_PROBE_WINDOW = 4
+
+
 def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
-                       table_factor: int = 4):
+                       table_factor: int = 8):
     """Resolve each probe key to its duplicate-run [start, start+len) range
     in the SORTED build order — the general-join probe.
 
     Build: detect run starts in the sorted normalized keys (duplicates are
     contiguous), compute run lengths via a suffix-min of start positions,
-    then insert one (key limbs, start, len) entry per run into an
-    open-addressing table with iterated claim/re-read scatter rounds (the
-    groupby.py convergence argument). Probe: hashed linear-probe rounds —
-    each round is ONE contiguous 16-byte AoS gather per probe row, vs the
-    former log2(B) dependent 64-bit ``searchsorted`` gathers (~11 s at
-    16M×1M on v5e). Expected rounds ≈ 2 at load ≤ 0.25.
+    then insert one (key limbs, start, len) entry per run into a LINEAR-
+    probed table with iterated claim/re-read scatter rounds (the groupby.py
+    convergence argument). Probe: each round gathers a W=4-slot WINDOW
+    (one [np, W, 4] i32 gather — measured on v5e, gather cost is per
+    index, not per byte, so the window is nearly free) and resolves up to
+    W chain steps at once: at load 1/8 virtually every probe resolves in
+    ONE random-access pass, vs ~12 double-hashed rounds before (each extra
+    round costs a full ~137 ms pass at 16M rows). Linear probing is what
+    makes the window trick legal: a key's chain occupies consecutive
+    slots, and an empty slot inside the window proves absence.
     """
     from ..utils.bits import split_i64
     from ..utils.hashing import hash32
     from .groupby import table_size_for
 
+    W = _PROBE_WINDOW
     nb = sorted_norm.shape[0]
     np_ = pk_norm.shape[0]
     T = table_size_for(nb, table_factor)
@@ -373,12 +386,14 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     run_len = (jnp.minimum(nxt, jnp.asarray(n_valid).astype(jnp.int32))
                - iota)                               # ≥ 1 at start rows
 
-    # double hashing: an odd per-key stride kills linear-probing clusters —
-    # the round count of each while_loop is the MAX chain over all keys, and
-    # every extra round costs one full gather pass over every row
-    h0 = (hash32(sk64) % jnp.uint32(T)).astype(jnp.int32)
-    step_b = ((hash32(sk64, jnp.uint32(0x9E37)) % jnp.uint32(T))
-              | jnp.uint32(1)).astype(jnp.int32)
+    NB_ = T // W                                     # buckets of W slots
+    # home slot = start of the home BUCKET: linear probing from a W-aligned
+    # start means every chain is a run of consecutive whole buckets, so the
+    # probe can fetch one bucket per round as a plain [np, W*4] row gather
+    # (vmap(dynamic_slice) windows compile ~200 s on this toolchain; row
+    # gathers compile in seconds and run at the same ~137 ms/pass)
+    h0 = ((hash32(sk64) % jnp.uint32(NB_)).astype(jnp.int32)
+          * jnp.int32(W))
     table = jnp.zeros((T + 1, 4), dtype=jnp.int32)   # (lo, hi, start, len)
     rows = jnp.stack([slo_i, shi_i, iota, run_len], axis=1)
 
@@ -395,35 +410,45 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
         got = table[slot]
         settled = unresolved & (got[:, 3] > 0) \
             & (got[:, 0] == slo_i) & (got[:, 1] == shi_i)
-        return (i + 1, (pos + step_b) % T, table, unresolved & ~settled)
+        # stride 1: the linear-probe invariant (no empty slot between a
+        # key's home and its placement) is what the probe window relies on
+        return (i + 1, (pos + 1) % T, table, unresolved & ~settled)
 
     from ..utils import shard_compat
 
     _, _, table, _ = shard_compat.while_loop(
         bcond, bbody, (jnp.int32(0), h0, table, is_start))
 
+    # bucket-major view: one row = one whole W-slot bucket (W*4 i32)
+    table_wide = table[:T].reshape(NB_, W * 4)
+
     pk64 = pk_norm.astype(jnp.int64)
     plo, phi = split_i64(pk64)
     plo_i, phi_i = plo.view(jnp.int32), phi.view(jnp.int32)
-    h0p = (hash32(pk64) % jnp.uint32(T)).astype(jnp.int32)
-    step_p = ((hash32(pk64, jnp.uint32(0x9E37)) % jnp.uint32(T))
-              | jnp.uint32(1)).astype(jnp.int32)
+    h0p = (hash32(pk64) % jnp.uint32(NB_)).astype(jnp.int32)
 
     def pcond(state):
         i, _, _, _, unresolved = state
-        return jnp.logical_and(i < T, unresolved.any())
+        return jnp.logical_and(i < jnp.int32(NB_), unresolved.any())
 
     def pbody(state):
-        i, pos, start, ln, unresolved = state
-        slot = jnp.where(unresolved, pos, T)
-        got = table[slot]
-        occ = got[:, 3] > 0
-        hit = occ & (got[:, 0] == plo_i) & (got[:, 1] == phi_i)
-        start = jnp.where(unresolved & hit, got[:, 2], start)
-        ln = jnp.where(unresolved & hit, got[:, 3], ln)
-        # resolved on hit or on an empty slot (key absent from build)
-        unresolved = unresolved & occ & ~hit
-        return (i + 1, (pos + step_p) % T, start, ln, unresolved)
+        i, bkt, start, ln, unresolved = state
+        win = table_wide[jnp.where(unresolved, bkt, 0)]      # [np, W*4]
+        hit_any = jnp.zeros((np_,), bool)
+        empty_any = jnp.zeros((np_,), bool)
+        for j in range(W):
+            occ_j = win[:, 4 * j + 3] > 0
+            hit_j = occ_j & (win[:, 4 * j] == plo_i) \
+                & (win[:, 4 * j + 1] == phi_i)
+            take = unresolved & hit_j & ~hit_any
+            start = jnp.where(take, win[:, 4 * j + 2], start)
+            ln = jnp.where(take, win[:, 4 * j + 3], ln)
+            hit_any = hit_any | hit_j
+            empty_any = empty_any | ~occ_j
+        # resolved on a hit, or on an empty slot anywhere in the bucket
+        # (linear probing from a bucket-aligned home: the chain ends there)
+        unresolved = unresolved & ~hit_any & ~empty_any
+        return (i + 1, (bkt + 1) % jnp.int32(NB_), start, ln, unresolved)
 
     _, _, start, ln, _ = shard_compat.while_loop(
         pcond, pbody, (jnp.int32(0), h0p, jnp.zeros((np_,), jnp.int32),
