@@ -112,27 +112,36 @@ def bench_sort(n, iters):
 
 
 def bench_join(n_probe, n_build, iters):
-    """configs[3]: inner join, Zipf-ish skewed probe. CPU baseline:
-    3.4 Mrows/s probe (threaded Acero, 100M×1M)."""
+    """configs[3]: inner join, Zipf(1.3) probe × unique build — the exact
+    shape of bench_reference/bench_join.py (probe = zipf(1.3) % n_build,
+    build = arange(n_build)). CPU baseline: 3.4 Mrows/s probe (threaded
+    Acero, 100M×1M).
+
+    Measures the GENERAL hash-range probe (no build_unique assumption) by
+    default; set BENCH_JOIN_UNIQUE=1 for the PK-FK fast path. Zipf keys are
+    generated on device by inverse-transform: floor(U^(-1/(s-1))) has
+    P(X>=k) = k^-(s-1), i.e. pmf ~ k^-s — the same tail law the reference
+    bench draws with numpy's rng.zipf(1.3)."""
     import jax
     import jax.numpy as jnp
 
     from gandiva_tpu.ops.hash_join import join
 
+    unique = os.environ.get("BENCH_JOIN_UNIQUE", "0") == "1"
+
     @jax.jit
     def run(probe, build):
-        res = join(probe, build, n_probe, "inner", build_unique=True)
+        res = join(probe, build, n_probe, "inner", build_unique=unique)
         return (res.count.astype(jnp.int64)
                 + jnp.sum(res.probe_idx.astype(jnp.int64))
-                + jnp.sum(res.build_idx.astype(jnp.int64)))
+                + jnp.sum(res.build_idx.astype(jnp.int64))
+                + jnp.where(res.overflow, jnp.int64(-1), 0))
 
     key = jax.random.PRNGKey(3)
-    k1, k2 = jax.random.split(key)
-    # skewed: squared uniform concentrates mass at low keys
-    u = jax.random.uniform(k1, (n_probe,))
-    probe = (u * u * n_build).astype(jnp.int64)
-    build = jax.random.permutation(k2, jnp.arange(2 * n_build,
-                                                  dtype=jnp.int64))[:n_build]
+    # Zipf(1.3) via Pareto-floor; clamp u so u^-(1/0.3) stays in f32 range
+    u = jax.random.uniform(key, (n_probe,), minval=1e-5, maxval=1.0)
+    probe = (u ** (-1.0 / 0.3)).astype(jnp.int64) % n_build
+    build = jnp.arange(n_build, dtype=jnp.int64)
     int(run(probe, build))
     t0 = time.perf_counter()
     for _ in range(iters):

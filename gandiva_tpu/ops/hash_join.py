@@ -342,22 +342,32 @@ _PROBE_WINDOW = 4
 
 
 def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
-                       table_factor: int = 8):
+                       table_factor: int = 16):
     """Resolve each probe key to its duplicate-run [start, start+len) range
     in the SORTED build order — the general-join probe.
 
     Build: detect run starts in the sorted normalized keys (duplicates are
     contiguous), compute run lengths via a suffix-min of start positions,
-    then insert one (key limbs, start, len) entry per run into a LINEAR-
-    probed table with iterated claim/re-read scatter rounds (the groupby.py
-    convergence argument). Probe: each round gathers a W=4-slot WINDOW
-    (one [np, W, 4] i32 gather — measured on v5e, gather cost is per
-    index, not per byte, so the window is nearly free) and resolves up to
-    W chain steps at once: at load 1/8 virtually every probe resolves in
-    ONE random-access pass, vs ~12 double-hashed rounds before (each extra
-    round costs a full ~137 ms pass at 16M rows). Linear probing is what
-    makes the window trick legal: a key's chain occupies consecutive
-    slots, and an empty slot inside the window proves absence.
+    then place one (key limbs, start, len) entry per run into a LINEAR-
+    probed table — with a CLOSED-FORM placement instead of iterated
+    claim/re-read scatter rounds: sort the runs by home slot h_i, then
+    first-fit linear probing admits the classic parking-function scan
+    ``pos_i = i + cummax(h_i - i)`` (if the previous entry pushed past our
+    home we take the next slot, else we sit at home). Every pos is final,
+    strictly increasing, and written with ONE sorted-unique scatter — the
+    old loop ran 10 full scatter rounds (~1.57 s at 1M build rows on v5e);
+    this is one 1M-row sort (~5 ms bitonic) + one scan + one scatter.
+
+    Probe: each round gathers a W=4-slot WINDOW (one [np, W*4] i32 row
+    gather; ~31 ns/row at 64 B on v5e) and resolves up to W chain steps at
+    once: at bucket load 1/4 (factor 16) nearly every probe resolves in
+    the first pass. Linear probing is what makes the window trick legal: a
+    key's chain occupies consecutive slots, and an empty slot inside the
+    window proves absence.
+
+    Clusters never wrap: the table carries an nb-slot slack tail past T, so
+    a pathological all-keys-one-bucket build still places in-bounds, and
+    the probe walks buckets un-wrapped through the tail.
     """
     from ..utils.bits import split_i64
     from ..utils.hashing import hash32
@@ -367,6 +377,9 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     nb = sorted_norm.shape[0]
     np_ = pk_norm.shape[0]
     T = table_size_for(nb, table_factor)
+    # slack tail: worst-case first-fit overhang is < nb slots past the last
+    # home bucket; rounded up so the bucket-major reshape stays whole
+    T_tot = T + ((nb + W - 1) // W) * W
     sk64 = sorted_norm.astype(jnp.int64)
     slo, shi = split_i64(sk64)
     slo_i, shi_i = slo.view(jnp.int32), shi.view(jnp.int32)
@@ -391,36 +404,30 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     # start means every chain is a run of consecutive whole buckets, so the
     # probe can fetch one bucket per round as a plain [np, W*4] row gather
     # (vmap(dynamic_slice) windows compile ~200 s on this toolchain; row
-    # gathers compile in seconds and run at the same ~137 ms/pass)
+    # gathers compile in seconds)
     h0 = ((hash32(sk64) % jnp.uint32(NB_)).astype(jnp.int32)
           * jnp.int32(W))
-    table = jnp.zeros((T + 1, 4), dtype=jnp.int32)   # (lo, hi, start, len)
     rows = jnp.stack([slo_i, shi_i, iota, run_len], axis=1)
 
-    def bcond(state):
-        i, _, _, unresolved = state
-        return jnp.logical_and(i < T, unresolved.any())
+    # ---- closed-form first-fit placement ----
+    from .sort import sort_permutation
 
-    def bbody(state):
-        i, pos, table, unresolved = state
-        slot = jnp.where(unresolved, pos, T)
-        occ = table[slot, 3] > 0                      # len ≥ 1 ⇒ occupied
-        claim = unresolved & ~occ
-        table = table.at[jnp.where(claim, slot, T)].set(rows, mode="drop")
-        got = table[slot]
-        settled = unresolved & (got[:, 3] > 0) \
-            & (got[:, 0] == slo_i) & (got[:, 1] == shi_i)
-        # stride 1: the linear-probe invariant (no empty slot between a
-        # key's home and its placement) is what the probe window relies on
-        return (i + 1, (pos + 1) % T, table, unresolved & ~settled)
-
-    from ..utils import shard_compat
-
-    _, _, table, _ = shard_compat.while_loop(
-        bcond, bbody, (jnp.int32(0), h0, table, is_start))
+    h_key = jnp.where(is_start, h0, jnp.int32(T_tot))  # non-starts sort last
+    order = sort_permutation([SortKey(h_key)])
+    hs = h_key[order]
+    pos = iota + lax.cummax(hs - iota)                # first-fit slot per run
+    # pos is STRICTLY increasing over all rows (i strictly increasing +
+    # nondecreasing cummax); non-starts inherit the sentinel
+    # (hs - iota ≥ T_tot - i ⇒ pos ≥ T_tot ⇒ out of bounds ⇒ dropped), and
+    # start rows fit below T_tot (homes ≤ T - W, overhang < nb ≤ slack)
+    table = jnp.zeros((T_tot, 4), dtype=jnp.int32)    # (lo, hi, start, len)
+    table = table.at[pos].set(
+        rows[order], mode="drop", indices_are_sorted=True,
+        unique_indices=True)
 
     # bucket-major view: one row = one whole W-slot bucket (W*4 i32)
-    table_wide = table[:T].reshape(NB_, W * 4)
+    NB_tot = T_tot // W
+    table_wide = table.reshape(NB_tot, W * 4)
 
     pk64 = pk_norm.astype(jnp.int64)
     plo, phi = split_i64(pk64)
@@ -429,7 +436,7 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
 
     def pcond(state):
         i, _, _, _, unresolved = state
-        return jnp.logical_and(i < jnp.int32(NB_), unresolved.any())
+        return jnp.logical_and(i < jnp.int32(NB_tot), unresolved.any())
 
     def pbody(state):
         i, bkt, start, ln, unresolved = state
@@ -448,7 +455,10 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
         # resolved on a hit, or on an empty slot anywhere in the bucket
         # (linear probing from a bucket-aligned home: the chain ends there)
         unresolved = unresolved & ~hit_any & ~empty_any
-        return (i + 1, (bkt + 1) % jnp.int32(NB_), start, ln, unresolved)
+        # un-wrapped advance: chains may extend into the slack tail past T
+        return (i + 1, bkt + 1, start, ln, unresolved)
+
+    from ..utils import shard_compat
 
     _, _, start, ln, _ = shard_compat.while_loop(
         pcond, pbody, (jnp.int32(0), h0p, jnp.zeros((np_,), jnp.int32),
