@@ -46,6 +46,8 @@ from .compiler.projector import (Filter, FilterProject, Projector,  # noqa: E402
 from . import native  # noqa: E402
 from . import ops  # noqa: E402
 from . import parallel  # noqa: E402
+from .plan import (Plan, PlanError, dump_plan, load_plan,  # noqa: E402
+                   make_filter_from_plan, make_projector_from_plan)
 
 
 def get_registered_function_signatures():
@@ -68,6 +70,8 @@ __all__ = [
     "FunctionRegistry", "FunctionSignature", "global_registry",
     "get_registered_function_signatures",
     "ExpressionValidationError",
+    "Plan", "PlanError", "load_plan", "dump_plan",
+    "make_projector_from_plan", "make_filter_from_plan",
     "ops", "parallel", "native",
 ]
 
