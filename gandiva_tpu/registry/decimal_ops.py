@@ -9,9 +9,10 @@ TPU representation: a decimal column is a pair of int64 limb arrays
 (``Val.value = (hi, lo)``), all arithmetic via utils/int128 (64-bit ops
 emulated on 32-bit lanes; no 128-bit types, no 64-bit bitcasts). The
 reference's ``decimal_xlarge`` path (256-bit intermediates when BOTH
-multiply operands exceed 18 digits) is not implemented — such plans raise at
-compile time (documented gap; the common TPC-H-style decimal(12,2) columns
-stay on the fast path).
+multiply operands exceed 18 digits — decimal_xlarge.cc) is
+``int128.mul256_div_pow10``: a 32-bit-limb 256-bit product fused with the
+scale-reduction divide; the common TPC-H-style decimal(12,2) columns stay
+on the 64×64 fast path.
 
 Division/scale-reduction rounding is half-away-from-zero, matching Gandiva.
 """
@@ -121,9 +122,11 @@ def _multiply(ctx, args):
     elif _fits_int64(a.dtype):
         hi, lo = i128.mul128_i64(*_limbs(b), a.value[1])
     else:
-        raise ExpressionValidationError(
-            "decimal multiply with both operands wider than 18 digits "
-            "requires 256-bit intermediates (decimal_xlarge) — unsupported")
+        # decimal_xlarge path: both operands > 18 digits — full 256-bit
+        # product, fused with the scale-reduction divide + round
+        hi, lo = i128.mul256_div_pow10(*_limbs(a), *_limbs(b),
+                                       raw_scale - out_t.scale)
+        return _decimal_val(hi, lo, out_t)
     hi, lo = _rescale(hi, lo, raw_scale, out_t.scale)
     return _decimal_val(hi, lo, out_t)
 

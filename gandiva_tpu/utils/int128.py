@@ -226,6 +226,69 @@ def div_pow10_round(hi, lo, k: int):
     return jnp.where(sign, nh, qhi), jnp.where(sign, nl, qlo)
 
 
+def mul256_div_pow10(ahi, alo, bhi, blo, k: int):
+    """(a × b) ÷ 10^k with round-half-away-from-zero, via a full 256-bit
+    intermediate product — the reference's ``decimal_xlarge`` path
+    (apache/arrow cpp/src/gandiva/decimal_xlarge.cc ⚠, SURVEY.md §2a#12):
+    used when BOTH decimal multiply operands exceed 18 digits, so the raw
+    product can reach 10^77 and must be formed at 256 bits before the
+    scale-reduction divide. Quotient truncates to 128 bits (a product whose
+    rescaled value still exceeds 38 digits wraps, like the other kernels).
+
+    All arithmetic on 32-bit limbs in uint64 lanes (TPU-lowerable):
+    schoolbook 4×4-limb multiply into 8 columns, one carry sweep, then
+    round(x/10^k) = floor((x + 5·10^(k-1)) / 10^k) on the magnitude —
+    the divide chains ≤10^9 scalar divisors so every long-division step
+    fits ((r << 32) | limb < 2^62)."""
+    M = jnp.uint64(0xFFFF_FFFF)
+    S32 = jnp.uint64(32)
+    sign = jnp.logical_xor(is_neg(ahi, alo), is_neg(bhi, blo))
+    Ah, Al = abs128(ahi, alo)
+    Bh, Bl = abs128(bhi, blo)
+
+    def split32(hi_, lo_):
+        uh, ul = _u(hi_), _u(lo_)
+        return [ul & M, ul >> S32, uh & M, uh >> S32]
+
+    a = split32(Ah, Al)
+    b = split32(Bh, Bl)
+    col = [0] * 8
+    for i in range(4):
+        for j in range(4):
+            p = a[i] * b[j]                       # < 2^64 - 2^33
+            col[i + j] = col[i + j] + (p & M)
+            if i + j + 1 < 8:
+                col[i + j + 1] = col[i + j + 1] + (p >> S32)
+    limbs = []
+    carry = jnp.uint64(0)
+    for c in col:                                 # ≤ 8 sub-2^32 terms + carry
+        t = c + carry
+        limbs.append(t & M)
+        carry = t >> S32
+    if k > 0:
+        half = 5 * 10 ** (k - 1)                  # 10^k / 2, exact
+        carry = jnp.uint64(0)
+        for idx in range(8):
+            t = limbs[idx] + jnp.uint64((half >> (32 * idx)) & 0xFFFF_FFFF) \
+                + carry
+            limbs[idx] = t & M
+            carry = t >> S32
+        left = k
+        while left > 0:
+            step = min(left, 9)
+            left -= step
+            d = jnp.uint64(10 ** step)
+            r = jnp.uint64(0) * limbs[0]          # broadcast zero
+            for idx in range(7, -1, -1):
+                t = (r << S32) | limbs[idx]
+                limbs[idx] = t // d
+                r = t % d
+    lo = _s(limbs[0] | (limbs[1] << S32))
+    hi = _s(limbs[2] | (limbs[3] << S32))
+    nh, nl = neg128(hi, lo)
+    return jnp.where(sign, nh, hi), jnp.where(sign, nl, lo)
+
+
 def to_float64(hi, lo):
     """int128 → float64 (approximate, for casts)."""
     sign = is_neg(hi, lo)

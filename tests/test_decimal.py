@@ -236,3 +236,68 @@ def test_cast_decimal_null_on_overflow():
     (r,) = proj.evaluate(batch)
     assert [None if v is None else str(v) for v in r.to_pylist()] == \
         ["9.0", "99.0", None, None, None]
+
+
+def test_int128_mul256_div_pow10():
+    """decimal_xlarge unit: 256-bit product / 10^k, round half away,
+    vs exact python ints."""
+    rng = np.random.default_rng(5)
+    a = [int(x) for x in rng.integers(-10**18, 10**18, 16)]
+    a = [x * (10 ** 7) + int(s) for x, s in
+         zip(a, rng.integers(-10**6, 10**6, 16))]        # ~25-digit values
+    b = list(reversed(a))
+    a += [0, 10 ** 37, -(10 ** 37), 5, -5]
+    b += [10 ** 30, 3, 3, -10 ** 24, 10 ** 24]
+    for k in (0, 1, 7, 12, 19, 38):
+        ah, al = _to_limbs(a)
+        bh, bl = _to_limbs(b)
+        hi, lo = i128.mul256_div_pow10(ah, al, bh, bl, k)
+        got = _from_limbs(hi, lo)
+        for g_, x, y in zip(got, a, b):
+            p = x * y
+            d = 10 ** k
+            exp = (abs(p) + d // 2) // d if k else abs(p)
+            exp = -exp if p < 0 else exp
+            assert g_ == _wrap128(exp), (x, y, k, g_, _wrap128(exp))
+
+
+def test_decimal_xlarge_multiply():
+    """Both operands wider than 18 digits → the 256-bit intermediate path
+    (reference decimal_xlarge.cc), vs python Decimal with explicit
+    half-up quantization at the adjusted result scale."""
+    t1, t2 = dt.decimal128(25, 5), dt.decimal128(25, 8)
+    schema = dt.Schema([dt.Field("a", t1), dt.Field("b", t2)])
+    na, nb = B.make_field(schema.field("a")), B.make_field(schema.field("b"))
+    from gandiva_tpu.registry.decimal_ops import result_type
+    rt = result_type("multiply", t1, t2)
+    assert rt.precision == 38 and rt.scale < 13   # adjusted: xlarge rescale
+    expr = B.make_expression(B.make_function("multiply", [na, nb], rt),
+                             dt.Field("m", rt))
+    proj = g.make_projector(schema, [expr], use_cache=False)
+    avals = ["12345678901234567890.12345", "-0.00001",
+             "99999999999999999999.99999", "31415926535897932.38462", None]
+    bvals = ["987654321.87654321", "12345678901234567.89012345",
+             "-11111111111111111.1", "2.71828182", "1.0"]
+    a = pa.array([None if v is None else pydec.Decimal(v) for v in avals],
+                 type=pa.decimal128(25, 5))
+    b = pa.array([pydec.Decimal(v) for v in bvals], type=pa.decimal128(25, 8))
+    batch = pa.RecordBatch.from_arrays([a, b], names=["a", "b"])
+    (m,) = proj.evaluate(batch)
+    assert m.type == pa.decimal128(rt.precision, rt.scale)
+    for got, x, y in zip(m.to_pylist(), avals, bvals):
+        if x is None:
+            assert got is None
+            continue
+        # exact oracle in the unscaled-int domain; values whose rescaled
+        # product exceeds 38 digits wrap at 128 bits (same as the other
+        # decimal kernels — gandiva flags overflow, result undefined)
+        ux = int(pydec.Decimal(x).scaleb(5))
+        uy = int(pydec.Decimal(y).scaleb(8))
+        k = 5 + 8 - rt.scale
+        p = ux * uy
+        d = 10 ** k
+        exp = (abs(p) + d // 2) // d
+        exp = -exp if p < 0 else exp
+        wide = pydec.Context(prec=60)
+        got_unscaled = int(got.scaleb(rt.scale, wide))
+        assert got_unscaled == _wrap128(exp), (x, y, got, exp)
