@@ -95,7 +95,8 @@ class _CompiledPlan:
             if f.dtype.is_varlen:
                 name = f.name
                 thunk = lambda batch, _n=name: batch.column(_n).dictionary
-            out[f.name] = Val(data, validity, f.dtype, dict_thunk=thunk)
+            out[f.name] = Val(data, validity, f.dtype, dict_thunk=thunk,
+                              source_field=f.name)
         return out
 
     def _decompose_all(self, ctx: TraceContext) -> List[Val]:

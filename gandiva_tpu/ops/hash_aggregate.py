@@ -48,8 +48,16 @@ def segment_reduce(gid, values, num_groups: int, kind: str,
 
     ``gid`` rows outside [0, num_groups) fall into no bucket. ``valid``
     masks out null values (rows still belong to their group for count_all).
+
+    Two tiers: small G uses a dense [N, G] membership broadcast (pure VPU
+    reductions, no scatter); large G switches to one scatter pass — the
+    broadcast matrix is O(N·G) and at 4M rows × 128k groups would try to
+    materialize terabytes.
     """
     G = _pad_groups(num_groups)
+    if G > 1024:
+        return _segment_reduce_scatter(gid, values, num_groups, G, kind,
+                                       valid)
     groups = jnp.arange(G, dtype=gid.dtype)
     member = gid[:, None] == groups[None, :]
     if valid is not None and kind != "count_all":
@@ -76,6 +84,46 @@ def segment_reduce(gid, values, num_groups: int, kind: str,
         else:
             ident = jnp.array(jnp.iinfo(values.dtype).min, dtype=values.dtype)
         return jnp.max(jnp.where(member, values[:, None], ident), axis=0)
+    raise ValueError(f"unknown aggregate kind {kind!r}")
+
+
+def _segment_reduce_scatter(gid, values, num_groups: int, G: int, kind: str,
+                            valid):
+    """High-cardinality tier: one .at[gid].add/min/max scatter, O(N + G).
+
+    Rows masked out (null value, or gid outside [0, num_groups)) are routed
+    to a sacrificial slot G and sliced off."""
+    idx = gid.astype(jnp.int32)
+    sac = jnp.int32(G)
+    idx = jnp.where((idx >= 0) & (idx < num_groups), idx, sac)
+    if valid is not None and kind != "count_all":
+        idx = jnp.where(valid, idx, sac)
+
+    if kind in ("sum", "mean"):
+        acc_dtype = values.dtype
+        if values.dtype in (jnp.int8, jnp.int16, jnp.int32):
+            acc_dtype = jnp.int64
+        out = jnp.zeros((G + 1,), dtype=acc_dtype).at[idx].add(
+            values.astype(acc_dtype), mode="drop")
+        return out[:G]
+    if kind in ("count", "count_all"):
+        out = jnp.zeros((G + 1,), dtype=jnp.int64).at[idx].add(
+            jnp.int64(1), mode="drop")
+        return out[:G]
+    if kind == "min":
+        if jnp.issubdtype(values.dtype, jnp.floating):
+            ident = jnp.array(jnp.inf, dtype=values.dtype)
+        else:
+            ident = jnp.array(jnp.iinfo(values.dtype).max, dtype=values.dtype)
+        out = jnp.full((G + 1,), ident).at[idx].min(values, mode="drop")
+        return out[:G]
+    if kind == "max":
+        if jnp.issubdtype(values.dtype, jnp.floating):
+            ident = jnp.array(-jnp.inf, dtype=values.dtype)
+        else:
+            ident = jnp.array(jnp.iinfo(values.dtype).min, dtype=values.dtype)
+        out = jnp.full((G + 1,), ident).at[idx].max(values, mode="drop")
+        return out[:G]
     raise ValueError(f"unknown aggregate kind {kind!r}")
 
 

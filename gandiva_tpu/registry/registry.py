@@ -57,6 +57,10 @@ class Val:
     dict_thunk: Optional[Callable] = None  # host: (batch) -> pyarrow Array
     literal: Any = None             # python literal if compile-time constant
     is_literal: bool = False
+    # set when this Val is a direct input-column reference: kernels that
+    # need the host-side column per batch (castVARCHAR(numeric) formatting)
+    # key their evaluate-time thunks by this name
+    source_field: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -562,12 +562,65 @@ _R.register("hash32", [dt.string, dt.int32], dt.int32, _hash_string_impl(32))
 _R.register("hash64", [dt.string, dt.int64], dt.int64, _hash_string_impl(64))
 
 
-# NOTE: castVARCHAR(numeric → string) is NOT an in-kernel function here: the
-# output dictionary would need the column's distinct values on host, implying
-# a device→host transfer inside the traced plan. The supported route is the
-# Batch-level conversion API (to_arrow + pyarrow cast) or pre-dictionary-
-# encoded inputs; castVARCHAR over string inputs (truncation) is registered
-# above. Documented divergence from the reference.
+# ---------------------------------------------------------------------------
+# castVARCHAR(numeric → string) — gandiva precompiled/string_ops.cc
+# gdv_fn_castVARCHAR_int64_int64 etc. The output dictionary needs the
+# column's values on host, so this is an evaluate-time HOST-formatted
+# dictionary (the holder-table route): supported when the argument is a
+# direct column reference (Val.source_field set) — codes come from a
+# per-batch np.unique factorization thunk, the dictionary from formatting
+# the same distinct values. Computed numeric subtrees still raise (their
+# values exist only on device inside the traced plan); route those through
+# the Batch conversion API instead.
+# ---------------------------------------------------------------------------
+
+def _fmt_numeric(v, src_t):
+    if src_t.is_integer:
+        return str(int(v))
+    if src_t.kind is dt.TypeKind.FLOAT32:
+        # shortest round-trip at f32 (python float(v) would print the f64
+        # expansion of the f32 bit pattern)
+        return np.format_float_positional(np.float32(v), unique=True,
+                                          trim="-")
+    return repr(float(v))
+
+
+def _cast_varchar_numeric(ctx, args):
+    a = args[0]
+    maxlen = None
+    if len(args) == 2:
+        maxlen = int(_require_literal(args[1], "castVARCHAR", "#2"))
+    name = a.source_field
+    if name is None:
+        raise ExpressionValidationError(
+            "castVARCHAR over a computed numeric value is unsupported: the "
+            "host-formatted dictionary route needs a direct column "
+            "reference (format on host via the Batch conversion API "
+            "instead)")
+    src_t = a.dtype
+
+    def codes_thunk(batch, _n=name):
+        vals = np.asarray(batch.column(_n).data)
+        _, inv = np.unique(vals, return_inverse=True)
+        return inv.astype(np.int32)
+
+    codes = ctx.add_table(codes_thunk)
+
+    def dict_thunk(batch, _n=name, _t=src_t, _m=maxlen):
+        import pyarrow as pa
+        uniq = np.unique(np.asarray(batch.column(_n).data))
+        strs = [_fmt_numeric(v, _t) for v in uniq]
+        if _m is not None:
+            strs = [s[:_m] for s in strs]
+        return pa.array(strs, type=pa.string())
+
+    return Val(codes, a.validity, dt.string, dict_thunk=dict_thunk)
+
+
+for _t in (dt.int32, dt.int64, dt.float32, dt.float64):
+    _R.register("castVARCHAR", [_t], dt.string, _cast_varchar_numeric)
+    _R.register("castVARCHAR", [_t, dt.int64], dt.string,
+                _cast_varchar_numeric)
 
 
 # ---------------------------------------------------------------------------

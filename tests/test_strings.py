@@ -221,3 +221,63 @@ def test_chr_space_literals():
         dt.Field("r", dt.string))
     (r,) = g.make_projector(SCHEMA, [expr], use_cache=False).evaluate(batch)
     assert r.to_pylist() == ["x   ", "y   "]
+
+
+def test_cast_varchar_numeric():
+    """castVARCHAR(numeric) — host-formatted per-batch dictionary
+    (gandiva gdv_fn_castVARCHAR_int64_int64 analogue)."""
+    import numpy as np
+    schema = dt.Schema([dt.Field("i", dt.int64), dt.Field("f", dt.float64)])
+    B_ = g.TreeExprBuilder
+    exprs = [
+        B_.make_expression(B_.make_function(
+            "castVARCHAR", [B_.make_field(schema.field("i"))], dt.string),
+            dt.Field("si", dt.string)),
+        B_.make_expression(B_.make_function(
+            "castVARCHAR", [B_.make_field(schema.field("i")),
+                            B_.make_int64_literal(2)], dt.string),
+            dt.Field("si2", dt.string)),
+        B_.make_expression(B_.make_function(
+            "castVARCHAR", [B_.make_field(schema.field("f"))], dt.string),
+            dt.Field("sf", dt.string)),
+    ]
+    proj = g.make_projector(schema, exprs, use_cache=False)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([123, -45, None, 0, 123], type=pa.int64()),
+         pa.array([1.5, -0.25, 3.0, None, 1e300])], names=["i", "f"])
+    si, si2, sf = proj.evaluate(batch)
+    assert si.to_pylist() == ["123", "-45", None, "0", "123"]
+    assert si2.to_pylist() == ["12", "-4", None, "0", "12"]
+    assert sf.to_pylist() == ["1.5", "-0.25", "3.0", None, "1e+300"]
+    # second batch with different values: dictionary rebuilt per batch
+    batch2 = pa.RecordBatch.from_arrays(
+        [pa.array([7, 7, 8], type=pa.int64()),
+         pa.array([0.5, 2.0, -1.0])], names=["i", "f"])
+    si, si2, sf = proj.evaluate(batch2)
+    assert si.to_pylist() == ["7", "7", "8"]
+    assert sf.to_pylist() == ["0.5", "2.0", "-1.0"]
+    # computed numerics have no host column to format → validation error
+    # (kernel-level constraints surface at the discovery pass, first eval)
+    bad = B_.make_expression(B_.make_function(
+        "castVARCHAR", [B_.make_function(
+            "add", [B_.make_field(schema.field("i")),
+                    B_.make_int64_literal(1)], dt.int64)], dt.string),
+        dt.Field("s", dt.string))
+    badp = g.make_projector(schema, [bad], use_cache=False)
+    with pytest.raises(g.ExpressionValidationError, match="direct column"):
+        badp.evaluate(batch2)
+
+
+def test_cast_varchar_float32():
+    schema = dt.Schema([dt.Field("f", dt.float32)])
+    B_ = g.TreeExprBuilder
+    expr = B_.make_expression(B_.make_function(
+        "castVARCHAR", [B_.make_field(schema.field("f"))], dt.string),
+        dt.Field("s", dt.string))
+    proj = g.make_projector(schema, [expr], use_cache=False)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([2.3, 0.1, -7.0], type=pa.float32())], names=["f"])
+    (s,) = proj.evaluate(batch)
+    # shortest f32 round-trip, not the f64 expansion (2.299999952316284)
+    assert s.to_pylist() == ["2.3", "0.1", "-7."] or \
+        s.to_pylist() == ["2.3", "0.1", "-7"]
