@@ -660,6 +660,43 @@ def _to_hex_binary(ctx, args):
 _R.register("to_hex", [dt.binary], dt.string, _to_hex_binary)
 
 
+# ---------------------------------------------------------------------------
+# convert_fromUTF8 / convert_toUTF8 (gandiva function_registry_string.cc:
+# Dremio's varbinary ⇄ varchar re-tagging; byte-preserving)
+# ---------------------------------------------------------------------------
+
+def _convert_from_utf8(ctx, args):
+    def f(d):
+        out = []
+        for v in d:
+            if v is None:
+                out.append(None)
+            else:
+                try:
+                    out.append(bytes(v).decode("utf-8"))
+                except UnicodeDecodeError:
+                    # gandiva raises an execution error on invalid UTF-8;
+                    # NULL here (same divergence policy as from_hex)
+                    out.append(None)
+        return out
+
+    return _transform_dict(args[0], f, "convert_fromUTF8",
+                           out_dtype=dt.string)
+
+
+def _convert_to_utf8(ctx, args):
+    return _transform_dict(
+        args[0],
+        lambda d: [None if v is None else v.encode("utf-8") for v in d],
+        "convert_toUTF8", out_dtype=dt.binary)
+
+
+_R.register("convert_fromUTF8", [dt.binary], dt.string, _convert_from_utf8,
+            aliases=["convert_fromutf8"])
+_R.register("convert_toUTF8", [dt.string], dt.binary, _convert_to_utf8,
+            aliases=["convert_toutf8"])
+
+
 def _from_hex(ctx, args):
     def f(d):
         out = []

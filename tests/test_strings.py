@@ -281,3 +281,25 @@ def test_cast_varchar_float32():
     # shortest f32 round-trip, not the f64 expansion (2.299999952316284)
     assert s.to_pylist() == ["2.3", "0.1", "-7."] or \
         s.to_pylist() == ["2.3", "0.1", "-7"]
+
+
+def test_convert_utf8_round_trip():
+    schema = dt.Schema([dt.Field("b", dt.binary), dt.Field("s", dt.string)])
+    B_ = g.TreeExprBuilder
+    exprs = [
+        B_.make_expression(B_.make_function(
+            "convert_fromUTF8", [B_.make_field(schema.field("b"))],
+            dt.string), dt.Field("fs", dt.string)),
+        B_.make_expression(B_.make_function(
+            "convert_toUTF8", [B_.make_field(schema.field("s"))],
+            dt.binary), dt.Field("tb", dt.binary)),
+    ]
+    proj = g.make_projector(schema, exprs, use_cache=False)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([b"hi", "café".encode(), None, b"\xff\xfe"],
+                  type=pa.binary()),
+         pa.array(["x", "café", None, ""])], names=["b", "s"])
+    fs, tb = proj.evaluate(batch)
+    # invalid UTF-8 → NULL (documented divergence: gandiva raises)
+    assert fs.to_pylist() == ["hi", "café", None, None]
+    assert tb.to_pylist() == [b"x", "café".encode(), None, b""]
