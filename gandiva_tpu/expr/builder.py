@@ -124,8 +124,14 @@ class TreeExprBuilder:
         given scale (mirrors gandiva's DecimalScalar128 literal)."""
         import decimal as _d
 
-        d = _d.Decimal(str(value))
-        unscaled = int(d.scaleb(scale).to_integral_value(rounding=_d.ROUND_HALF_UP))
+        # widen the context: the default prec=28 silently rounds decimal128
+        # literals with >28 significant digits during the scale shift
+        # (ADVICE r3 — plan.py round-trip of full-precision literals)
+        with _d.localcontext() as ctx:
+            ctx.prec = 80
+            d = _d.Decimal(str(value))
+            unscaled = int(d.scaleb(scale).to_integral_value(
+                rounding=_d.ROUND_HALF_UP))
         return LiteralNode(unscaled, dt.decimal128(precision, scale))
 
     @staticmethod

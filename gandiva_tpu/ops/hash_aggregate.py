@@ -93,9 +93,13 @@ def _segment_reduce_scatter(gid, values, num_groups: int, G: int, kind: str,
 
     Rows masked out (null value, or gid outside [0, num_groups)) are routed
     to a sacrificial slot G and sliced off."""
-    idx = gid.astype(jnp.int32)
+    # range-check in the ORIGINAL dtype before narrowing: an int64 gid
+    # >= 2^31 would wrap into range after the cast and pollute a real
+    # bucket (ADVICE r3)
+    in_range = (gid >= 0) & (gid < num_groups)
     sac = jnp.int32(G)
-    idx = jnp.where((idx >= 0) & (idx < num_groups), idx, sac)
+    idx = jnp.where(in_range, jnp.clip(gid, 0, num_groups - 1), sac
+                    ).astype(jnp.int32)
     if valid is not None and kind != "count_all":
         idx = jnp.where(valid, idx, sac)
 

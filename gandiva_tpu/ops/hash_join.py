@@ -102,7 +102,7 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
     # ---- build phase: sort build keys; key-invalid rows sort last --------
     from .sort import _sort_full
 
-    perm, (sorted_keys,) = _sort_full(
+    perm, (sorted_keys,), _ = _sort_full(
         [SortKey(build_keys, validity=build_kv, nulls_first=False)], None)
     sorted_valid = build_kv[perm]
     sorted_exists = build_exists[perm]

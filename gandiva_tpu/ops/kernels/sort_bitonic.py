@@ -66,21 +66,37 @@ def _stage_pairs_finish(p: int, w: int) -> List[Tuple[int, int]]:
     return [(p, q) for q in range(w - 1, -1, -1)]
 
 
-def _block_kernel(*refs, num_limbs: int, rows: int, stages, w: int):
+def _block_kernel(*refs, num_limbs: int, rows: int, stages, w: int,
+                  num_cmp=None, local_dirs: bool = False):
     """Run ``stages`` compare-exchange stages on one W-row block in VMEM.
 
     refs: num_limbs input blocks [rows, LANE] int32, then num_limbs output
     blocks. Directions derive from GLOBAL element indices (block offset =
     program_id * W), so alternating asc/desc subsequences line up across
     blocks exactly as in the monolithic network.
+
+    num_cmp: compare only the first num_cmp limbs (lex); remaining limbs
+    are non-compared payload that swaps along (merge_path.py carries).
+    Default: all limbs compared (original behavior).
+
+    local_dirs: derive directions from LOCAL element indices instead —
+    every block then sorts fully ascending (independent sorted runs for
+    merge_path.py) rather than alternating for the global bitonic network.
     """
+    if num_cmp is None:
+        num_cmp = num_limbs
     i = pl.program_id(0)
     ins = refs[:num_limbs]
     outs = refs[num_limbs:]
-    r_iota = lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
-    c_iota = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
-    # global element index of each lane: block*W + r*128 + c (fits i32)
-    g_idx = i * jnp.int32(rows * LANE) + r_iota * jnp.int32(LANE) + c_iota
+    # ROW- and LANE-level iotas, not full [rows, LANE] grids: every routing
+    # mask below is a pure row function (stride ≥ 128) or pure lane
+    # function (stride < 128), so keeping masks at [rows, 1] / [1, LANE]
+    # shapes turns ~6 full-width VPU ops per stage into broadcasts of tiny
+    # ones (~35% of total leaf cost at 5 limbs — measured r4)
+    r1 = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    c1 = lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    # global row index: block*rows + r (fits i32)
+    g_row = r1 if local_dirs else i * jnp.int32(rows) + r1
 
     vals = [ref[...] for ref in ins]
 
@@ -90,14 +106,14 @@ def _block_kernel(*refs, num_limbs: int, rows: int, stages, w: int):
         # which tpu.dynamic_rotate rejects (utils/bits.py lane discipline)
         if j >= LANE:
             dj = j // LANE
-            bit0 = ((r_iota >> (q - 7)) & 1) == 0
+            bit0 = ((r1 >> (q - 7)) & 1) == 0            # [rows, 1]
 
             def partner(x, _dj=dj, _b=bit0):
                 return jnp.where(_b,
                                  pltpu.roll(x, jnp.int32(rows - _dj), 0),
                                  pltpu.roll(x, jnp.int32(_dj), 0))
         else:
-            bit0 = ((c_iota >> q) & 1) == 0
+            bit0 = ((c1 >> q) & 1) == 0                  # [1, LANE]
 
             def partner(x, _j=j, _b=bit0):
                 return jnp.where(_b,
@@ -110,15 +126,20 @@ def _block_kernel(*refs, num_limbs: int, rows: int, stages, w: int):
         # for truncation") — bool conditions selecting int32 are fine
         gt = (vals[0] > ps[0]).astype(jnp.int32)
         eq = (vals[0] == ps[0]).astype(jnp.int32)
-        for m_, p_ in zip(vals[1:], ps[1:]):
+        for m_, p_ in zip(vals[1:num_cmp], ps[1:num_cmp]):
             gt = gt | (eq & (m_ > p_).astype(jnp.int32))
             eq = eq & (m_ == p_).astype(jnp.int32)
         b0 = jnp.where(bit0, jnp.int32(1), jnp.int32(0))
-        # pair-consistent "lower > upper" (total order: partner gt = 1−gt) +
-        # direction from bit p (identical for both partners since p > q)
-        gt_ab = b0 * gt + (1 - b0) * (1 - gt)
-        asc = 1 - ((g_idx >> p) & 1)
-        swap = gt_ab == asc
+        # direction from bit p of the global element index (identical for
+        # both partners since p > q); p ≥ 7 reads a row bit, p < 7 a lane
+        # bit — both tiny
+        if p >= 7:
+            asc = 1 - ((g_row >> (p - 7)) & 1)           # [rows, 1]
+        else:
+            asc = 1 - ((c1 >> p) & 1)                    # [1, LANE]
+        # pair-consistent "lower > upper": gt_ab = (gt == b0); swap when it
+        # equals the direction bit — two broadcast ops total
+        swap = (gt == b0) == (asc > 0)
         vals = [jnp.where(swap, pv, v) for v, pv in zip(vals, ps)]
 
     for k in range(num_limbs):
@@ -126,7 +147,8 @@ def _block_kernel(*refs, num_limbs: int, rows: int, stages, w: int):
 
 
 def _run_block_stages(vals: List[jnp.ndarray], stages, w: int,
-                      interpret: bool) -> List[jnp.ndarray]:
+                      interpret: bool, num_cmp=None,
+                      local_dirs: bool = False) -> List[jnp.ndarray]:
     """pallas_call wrapper: grid over W-row blocks, stages in VMEM."""
     n = vals[0].shape[0]
     W = 1 << w
@@ -141,7 +163,8 @@ def _run_block_stages(vals: List[jnp.ndarray], stages, w: int,
         ins = [r.at[0] for r in refs[:num_limbs]]
         outs = [r.at[0] for r in refs[num_limbs:]]
         _block_kernel(*(tuple(ins) + tuple(outs)), num_limbs=num_limbs,
-                      rows=rows, stages=stages, w=w)
+                      rows=rows, stages=stages, w=w, num_cmp=num_cmp,
+                      local_dirs=local_dirs)
 
     outs = pl.pallas_call(
         kernel,

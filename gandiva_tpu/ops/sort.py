@@ -147,49 +147,58 @@ def _build_operands(keys: Sequence[SortKey], length):
     return operands, key_opnd
 
 
-def _sort_full(keys: Sequence[SortKey], length):
-    """(perm, sorted norm per key). Operand count is minimized aggressively
-    — padding/null bits fold into one uint32 rank operand; payloads are
-    *gathered* by the permutation afterwards (sort_columns), never sorted
-    along. The sorted norms come back for free from either network, saving
-    sort_columns a 64-bit key re-gather."""
+def _norms_from_limbs(sorted_limbs, spans, key_opnd, operands):
+    from ..utils.bits import combine_i64
+
+    sorted_norms = []
+    for ki in key_opnd:
+        start, cnt = spans[ki]
+        if cnt == 2:
+            sorted_norms.append(combine_i64(sorted_limbs[start + 1],
+                                            sorted_limbs[start],
+                                            jnp.uint64))
+        else:
+            sorted_norms.append(
+                sorted_limbs[start].astype(operands[ki].dtype))
+    return sorted_norms
+
+
+def _sort_full(keys: Sequence[SortKey], length, carries=()):
+    """(perm, sorted norm per key, sorted carries). Operand count is
+    minimized aggressively — padding/null bits fold into one uint32 rank
+    operand. ``carries`` are uint32 lane arrays that ride the permutation
+    through the merge-path network (TPU large-N path only — callers must
+    gather them via ``perm`` when the third result comes back empty)."""
     n = keys[0].values.shape[0]
     operands, key_opnd = _build_operands(keys, length)
-    if _use_bitonic(n):
-        from ..utils.bits import combine_i64
-        from .kernels.sort_bitonic import bitonic_sort_u32, operands_to_limbs
+    if _use_merge(n):
+        from .kernels.merge_path import merge_sort_u32
+        from .kernels.sort_bitonic import operands_to_limbs
 
         limbs, spans = operands_to_limbs(operands)
-        perm, sorted_limbs = bitonic_sort_u32(limbs)
-        sorted_norms = []
-        for ki in key_opnd:
-            start, cnt = spans[ki]
-            if cnt == 2:
-                sorted_norms.append(combine_i64(sorted_limbs[start + 1],
-                                                sorted_limbs[start],
-                                                jnp.uint64))
-            else:
-                sorted_norms.append(
-                    sorted_limbs[start].astype(operands[ki].dtype))
-        return perm, sorted_norms
+        perm, sorted_limbs, sorted_carries = merge_sort_u32(limbs, carries)
+        return perm, _norms_from_limbs(sorted_limbs, spans, key_opnd,
+                                       operands), sorted_carries
     idx = jnp.arange(n, dtype=jnp.int32)
     results = lax.sort(tuple(operands) + (idx,),
                        num_keys=len(operands), is_stable=True)
-    return results[-1], [results[ki] for ki in key_opnd]
+    return results[-1], [results[ki] for ki in key_opnd], ()
 
 
 def sort_permutation(keys: Sequence[SortKey], length=None):
     """Return the stable permutation (int32 indices) ordering rows by the
     given keys; padding rows (index ≥ length) sort to the back."""
-    perm, _ = _sort_full(keys, length)
+    perm, _, _ = _sort_full(keys, length)
     return perm
 
 
-def _use_bitonic(n: int) -> bool:
+def _use_merge(n: int) -> bool:
     """lax.sort's bitonic lowering compiles pathologically at 8M+ rows and
-    runs ~20 Mrows/s; the explicit hybrid network (kernels/sort_bitonic.py)
-    compiles in seconds and is HBM-bound. Below ~64k rows the pallas_call
-    fixed costs dominate and lax.sort is fine."""
+    runs ~20 Mrows/s at 100M; the merge-path network
+    (kernels/merge_path.py — leaf sort + log2(n/W) Pallas merge rounds) is
+    ~6× faster than even the explicit hybrid bitonic network and carries
+    payload limbs for free. Below ~64k rows the pallas_call fixed costs
+    dominate and lax.sort is fine."""
     import jax
 
     return jax.default_backend() == "tpu" and n >= (1 << 16)
@@ -199,14 +208,53 @@ def sort_columns(keys: Sequence[SortKey],
                  payload: Sequence[jnp.ndarray] = (),
                  length=None):
     """Sort key columns plus payload columns; returns (perm, sorted key
-    value arrays, sorted payloads). Payloads move via 32-bit-limb gathers
-    (utils/bits.py), never as extra sort operands; key VALUES reconstruct
-    from the sorted norms (denormalize_key) — no key gather — except
-    nullable keys, whose null rows were norm-zeroed (their original values
-    are recovered by gather to match Arrow take semantics)."""
-    from ..utils.bits import gather32
+    value arrays, sorted payloads).
 
-    perm, sorted_norms = _sort_full(keys, length=length)
+    TPU large-N path: payloads (and nullable keys' original values, whose
+    norms were null-zeroed) ride the merge-path sort as uint32 carry limbs
+    — no post-sort gather at all (XLA gather costs ~12 ns/row on v5e, the
+    old path's dominant cost). Non-null key VALUES reconstruct from the
+    sorted norms (denormalize_key). Small-N/CPU path: 32-bit-limb gathers
+    via the permutation (utils/bits.py), as before."""
+    from ..utils.bits import (column_from_lanes, gather32,
+                              lanes_from_column)
+
+    n = keys[0].values.shape[0]
+    if _use_merge(n):
+        carries = []
+        key_lane_counts = []
+        for k in keys:
+            if k.validity is not None:
+                parts = lanes_from_column(k.values)
+                key_lane_counts.append(len(parts))
+                carries.extend(parts)
+            else:
+                key_lane_counts.append(0)
+        payload_lane_counts = []
+        for p in payload:
+            parts = lanes_from_column(p)
+            payload_lane_counts.append(len(parts))
+            carries.extend(parts)
+        perm, sorted_norms, sorted_carries = _sort_full(keys, length,
+                                                        carries)
+        pos = 0
+        sorted_keys = []
+        for k, sn, cnt in zip(keys, sorted_norms, key_lane_counts):
+            if cnt:
+                sorted_keys.append(column_from_lanes(
+                    list(sorted_carries[pos:pos + cnt]), k.values.dtype))
+                pos += cnt
+            else:
+                sorted_keys.append(denormalize_key(sn, k.values.dtype,
+                                                   k.ascending))
+        sorted_payload = []
+        for p, cnt in zip(payload, payload_lane_counts):
+            sorted_payload.append(column_from_lanes(
+                list(sorted_carries[pos:pos + cnt]), p.dtype))
+            pos += cnt
+        return perm, sorted_keys, sorted_payload
+
+    perm, sorted_norms, _ = _sort_full(keys, length=length)
     sorted_keys = []
     for k, sn in zip(keys, sorted_norms):
         if k.validity is not None:

@@ -110,24 +110,34 @@ def parse_node(doc: dict, schema: dt.Schema) -> Node:
         except KeyError:
             raise PlanError(f"field {name!r} not in plan schema") from None
         return B.make_field(f)
+    # missing required keys surface as PlanError, not raw KeyError — the
+    # documented load-time contract (ADVICE r3)
+    def _get(b, key):
+        if not isinstance(b, dict) or key not in b:
+            raise PlanError(f"{kind!r} node missing required key {key!r}")
+        return b[key]
+
     if kind == "function":
         args = [parse_node(a, schema) for a in body.get("args", [])]
-        return B.make_function(body["name"], args,
-                               _parse_type(body["return_type"]))
+        return B.make_function(_get(body, "name"), args,
+                               _parse_type(_get(body, "return_type")))
     if kind == "if":
-        return B.make_if(parse_node(body["condition"], schema),
-                         parse_node(body["then"], schema),
-                         parse_node(body["else"], schema),
-                         _parse_type(body["return_type"]))
+        return B.make_if(parse_node(_get(body, "condition"), schema),
+                         parse_node(_get(body, "then"), schema),
+                         parse_node(_get(body, "else"), schema),
+                         _parse_type(_get(body, "return_type")))
     if kind in ("and", "or"):
+        if not isinstance(body, list):
+            raise PlanError(f"{kind!r} node body must be a list of nodes, "
+                            f"got {type(body).__name__}")
         children = [parse_node(c, schema) for c in body]
         return B.make_and(children) if kind == "and" else B.make_or(children)
     if kind == "in":
-        t = _parse_type(body["type"])
-        values = body["values"]
+        t = _parse_type(_get(body, "type"))
+        values = _get(body, "values")
         if t.kind is dt.TypeKind.BINARY:
             values = [bytes.fromhex(v) for v in values]
-        return B.make_in_expression(parse_node(body["expr"], schema),
+        return B.make_in_expression(parse_node(_get(body, "expr"), schema),
                                     values, t)
     raise PlanError(f"unknown node kind {kind!r}")
 
@@ -156,6 +166,8 @@ def load_plan(doc) -> Plan:
     schema = parse_schema(doc["schema"])
     exprs = []
     for e in doc.get("expressions", []):
+        if not isinstance(e, dict) or "root" not in e:
+            raise PlanError("expression entry must be an object with 'root'")
         root = parse_node(e["root"], schema)
         res = e.get("result", {})
         rtype = (_parse_type(res["type"]) if "type" in res
@@ -167,8 +179,10 @@ def load_plan(doc) -> Plan:
             root, dt.Field(res.get("name", "out"), rtype)))
     condition = None
     if doc.get("condition") is not None:
-        condition = B.make_condition(
-            parse_node(doc["condition"]["root"], schema))
+        cond_doc = doc["condition"]
+        if not isinstance(cond_doc, dict) or "root" not in cond_doc:
+            raise PlanError("condition must be an object with 'root'")
+        condition = B.make_condition(parse_node(cond_doc["root"], schema))
     return Plan(schema, exprs, condition)
 
 
@@ -208,9 +222,14 @@ def dump_node(node: Node):
             v = bytes(v).hex()
         elif v is not None and node.dtype.is_decimal:
             # LiteralNode holds the UNSCALED int; document form carries the
-            # human decimal string at the declared scale
-            from decimal import Decimal
-            v = str(Decimal(v).scaleb(-node.dtype.scale))
+            # human decimal string at the declared scale. The default
+            # context is prec=28 and would silently round >28-significant-
+            # digit decimal128 values, breaking round-trip (ADVICE r3) —
+            # widen it for the scale shift.
+            from decimal import Decimal, localcontext
+            with localcontext() as ctx:
+                ctx.prec = 80
+                v = str(Decimal(v).scaleb(-node.dtype.scale))
         elif v is not None and not isinstance(v, (bool, int, float, str)):
             v = str(v)
         return {"literal": {"type": _type_doc(node.dtype), "value": v}}

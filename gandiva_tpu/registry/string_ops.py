@@ -582,6 +582,11 @@ def _fmt_numeric(v, src_t):
         # expansion of the f32 bit pattern)
         return np.format_float_positional(np.float32(v), unique=True,
                                           trim="-")
+    # DOCUMENTED DIVERGENCE (ADVICE r3): float64 formats with Python repr
+    # (shortest round-trip), so extreme/special values print Python-style
+    # ('1e+300', 'nan', 'inf') where the reference gdv_fn_castVARCHAR_
+    # float64 prints C++-style ('1.0E300', 'NaN', 'Infinity'). Ordinary
+    # magnitudes match; only exponent/NaN/Infinity spellings differ.
     return repr(float(v))
 
 

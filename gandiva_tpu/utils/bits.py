@@ -97,6 +97,48 @@ def rebuild(parts: List[jnp.ndarray], dtype):
     return p if p.dtype == d else p.astype(d)
 
 
+def lanes_from_column(x) -> List[jnp.ndarray]:
+    """Column → uint32 lane arrays for bit-exact transport through sort /
+    compaction kernels (inverse: column_from_lanes)."""
+    parts = explode(x)
+    out = []
+    for p in parts:
+        d = p.dtype
+        if d == jnp.float32:
+            out.append(p.view(jnp.uint32))
+        elif d == jnp.uint32:
+            out.append(p)
+        elif d in (jnp.uint8, jnp.uint16):
+            out.append(p.astype(jnp.uint32))
+        elif d in (jnp.int8, jnp.int16, jnp.int32, jnp.bool_):
+            out.append(p.astype(jnp.int32).view(jnp.uint32))
+        else:
+            out.append(p.view(jnp.uint32))
+    return out
+
+
+def column_from_lanes(parts: List[jnp.ndarray], dtype):
+    """Inverse of lanes_from_column."""
+    d = jnp.dtype(dtype)
+    if len(parts) == 2:
+        if d == jnp.dtype(jnp.float64):
+            if not _backend_has_true_f64():
+                parts = [p.view(jnp.float32) for p in parts]
+            return combine_f64(parts[0], parts[1])
+        return combine_i64(parts[0], parts[1], dtype)
+    p = parts[0]
+    if d == jnp.dtype(jnp.float32):
+        return p.view(jnp.float32)
+    if d == jnp.dtype(jnp.bool_):
+        return p.view(jnp.int32).astype(jnp.bool_)
+    if d in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16),
+             jnp.dtype(jnp.int32)):
+        return p.view(jnp.int32).astype(d)
+    if d in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.uint16)):
+        return p.astype(d)
+    return p.view(d)
+
+
 def gather32(values, idx):
     """values[idx] with 64-bit payloads moved as 32-bit limb pairs."""
     if is64(values.dtype):
