@@ -114,7 +114,7 @@ def bench_sort(n, iters):
     return n / ((time.perf_counter() - t0) / iters)
 
 
-def bench_join(n_probe, n_build, iters):
+def bench_join(n_probe, n_build, iters, unique=None):
     """configs[3]: inner join, Zipf(1.3) probe × unique build — the exact
     shape of bench_reference/bench_join.py (probe = zipf(1.3) % n_build,
     build = arange(n_build)). CPU baseline: 3.4 Mrows/s probe (threaded
@@ -130,7 +130,8 @@ def bench_join(n_probe, n_build, iters):
 
     from gandiva_tpu.ops.hash_join import join
 
-    unique = os.environ.get("BENCH_JOIN_UNIQUE", "0") == "1"
+    if unique is None:
+        unique = os.environ.get("BENCH_JOIN_UNIQUE", "0") == "1"
 
     @jax.jit
     def run(probe, build):
@@ -184,6 +185,12 @@ def main():
         "sort": (lambda n: bench_sort(n, iters), 100_000_000, 1.3e6, 32),
         "join": (lambda n: bench_join(
             n, int(os.environ.get("BENCH_BUILD_ROWS", 1024 * 1024)), iters),
+            100_000_000, 3.4e6, 16),
+        # the PK-FK declared-unique path (build_unique=True), recorded
+        # alongside the general path per VERDICT r3; same CPU baseline
+        "join_unique": (lambda n: bench_join(
+            n, int(os.environ.get("BENCH_BUILD_ROWS", 1024 * 1024)), iters,
+            unique=True),
             100_000_000, 3.4e6, 16),
     }
     selected = list(plans) if only == "all" else [only]

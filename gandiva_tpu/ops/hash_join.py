@@ -115,51 +115,139 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
     sorted_keys = jnp.where(sorted_valid, sorted_keys, maxval)
 
     # ---- probe phase: hashed range lookup --------------------------------
+    # table entries store the ORIGINAL build row (not the sorted position)
+    # when every run is unique at runtime AND the join type has a fast
+    # expansion — right/full always read sorted positions
+    fast_how = how in ("inner", "left", "semi", "anti")
     pk = normalize_key(probe_keys)
-    lo, ln = _hash_probe_ranges(pk, sorted_keys, n_build_valid, probe_kv)
-    hi = jnp.minimum(lo + ln, n_build_valid)
-    lo = jnp.minimum(lo, n_build_valid)
-    cnt = jnp.where(probe_kv, hi - lo, 0)
+    lo, ln, uniq = _hash_probe_ranges(
+        pk, sorted_keys, n_build_valid, probe_kv,
+        perm=perm if fast_how else None)
 
-    if how == "semi":
-        emit = jnp.minimum(cnt, 1)
-    elif how == "anti":
-        emit = jnp.where(probe_exists & (cnt == 0), 1, 0)
-    elif how in ("left", "full"):
-        emit = jnp.where(probe_exists, jnp.maximum(cnt, 1), 0)
-    else:  # inner, right probe-part
-        emit = cnt
-
-    offsets, total_probe_part = _exclusive_cumsum(emit)
-
-    # ---- expansion: fill capacity slots ---------------------------------
     C = capacity
-    slot_probe = jnp.full((C + 1,), -1, dtype=jnp.int32)
-    has_out = emit > 0
-    start = jnp.where(has_out & (offsets < C), offsets, C)
-    slot_probe = slot_probe.at[start].max(
-        jnp.arange(np_, dtype=jnp.int32), mode="drop")
-    slot_probe = lax.cummax(slot_probe[:C])
     r = jnp.arange(C, dtype=jnp.int32)
-    in_probe_part = r < total_probe_part
-    p = jnp.clip(slot_probe, 0, np_ - 1)
-    # one packed AoS row gather instead of three element gathers — random-
-    # access passes cost ~137 ms each at 16M rows on v5e, width ≤ 4 is free
-    aux = jnp.stack([offsets.astype(jnp.int32), cnt.astype(jnp.int32),
-                     lo.astype(jnp.int32)], axis=1)           # [np, 3]
-    g = aux[p]                                                # [C, 3]
-    j = r - g[:, 0]
-    matched = g[:, 1] > 0
-    bsorted = jnp.clip(g[:, 2] + j, 0, nb - 1)
-    build_out = jnp.where(matched, perm[bsorted].astype(jnp.int32), -1)
-    if how in ("semi", "anti"):
-        build_out = jnp.full((C,), -1, dtype=jnp.int32)
-    probe_out = jnp.where(in_probe_part, slot_probe, -1)
-    build_out = jnp.where(in_probe_part, build_out, -1)
-    total = total_probe_part
+
+    def general_expand(_):
+        # run lengths come out of the table already clamped to the valid
+        # prefix (run_len = min(next_start, n_valid) - iota at build), so
+        # cnt needs no probe-side clamp; lo is a sorted position for
+        # len > 1 runs and the ORIGINAL build row for len == 1 runs when
+        # fast_how (see _hash_probe_ranges)
+        cnt = jnp.where(probe_kv, ln, 0)
+        lo_ = lo
+
+        if how == "semi":
+            emit = jnp.minimum(cnt, 1)
+        elif how == "anti":
+            emit = jnp.where(probe_exists & (cnt == 0), 1, 0)
+        elif how in ("left", "full"):
+            emit = jnp.where(probe_exists, jnp.maximum(cnt, 1), 0)
+        else:  # inner, right probe-part
+            emit = cnt
+
+        offsets, total_probe_part = _exclusive_cumsum(emit)
+
+        slot_probe = jnp.full((C + 1,), -1, dtype=jnp.int32)
+        has_out = emit > 0
+        start = jnp.where(has_out & (offsets < C), offsets, C)
+        slot_probe = slot_probe.at[start].max(
+            jnp.arange(np_, dtype=jnp.int32), mode="drop")
+        slot_probe = lax.cummax(slot_probe[:C])
+        in_probe_part = r < total_probe_part
+        p = jnp.clip(slot_probe, 0, np_ - 1)
+        # one packed AoS row gather instead of three element gathers —
+        # random-access passes cost ~137 ms each at 16M rows on v5e,
+        # width ≤ 4 is free
+        aux = jnp.stack([offsets.astype(jnp.int32), cnt.astype(jnp.int32),
+                         lo_.astype(jnp.int32)], axis=1)      # [np, 3]
+        g = aux[p]                                            # [C, 3]
+        j = r - g[:, 0]
+        matched = g[:, 1] > 0
+        bsorted = jnp.clip(g[:, 2] + j, 0, nb - 1)
+        bperm = perm[bsorted].astype(jnp.int32)
+        if fast_how:
+            # len-1 entries already carry the original build row
+            bperm = jnp.where(g[:, 1] == 1, g[:, 2], bperm)
+        build_out = jnp.where(matched, bperm, -1)
+        if how in ("semi", "anti"):
+            build_out = jnp.full((C,), -1, dtype=jnp.int32)
+        probe_out = jnp.where(in_probe_part, slot_probe, -1)
+        build_out = jnp.where(in_probe_part, build_out, -1)
+        return probe_out, build_out, total_probe_part.astype(jnp.int32)
+
+    def _fit(a, fill):
+        n0 = a.shape[0]
+        if n0 == C:
+            return a
+        if n0 > C:
+            return a[:C]
+        return jnp.concatenate([a, jnp.full((C - n0,), fill, a.dtype)])
+
+    # Fast expansion: unique build AND every probe row emits exactly one
+    # output (referential-integrity joins — THE common PK-FK case). Then
+    # the output is the identity over probe rows: probe_out = iota,
+    # build_out = lo (already the ORIGINAL build row) — pure elementwise,
+    # no run expansion, no perm gather, no cumsum/scatter. The branch must
+    # stay Pallas-free: a pallas_call inside lax.cond crashes the TPU
+    # compiler (SIGILL, probed r4), so partial-match unique builds take
+    # the general path rather than a compaction.
+    iota_p = jnp.arange(np_, dtype=jnp.int32)
+    matched = probe_kv & (ln > 0)
+    if how == "left":
+        fast_flag = uniq & jnp.all(probe_exists)
+    elif fast_how:
+        fast_flag = uniq & jnp.all(matched)
+    else:
+        fast_flag = jnp.zeros((), bool)
+
+    def unique_expand(_):
+        if how == "inner":
+            probe_out = _fit(iota_p, -1)
+            build_out = _fit(lo.astype(jnp.int32), -1)
+            total = jnp.int32(np_)
+        elif how == "left":
+            probe_out = _fit(iota_p, -1)
+            build_out = _fit(jnp.where(matched, lo, -1).astype(jnp.int32),
+                             -1)
+            total = jnp.int32(np_)
+        elif how == "semi":
+            probe_out = _fit(iota_p, -1)
+            build_out = jnp.full((C,), -1, jnp.int32)
+            total = jnp.int32(np_)
+        else:  # anti: all matched ⇒ empty result
+            probe_out = jnp.full((C,), -1, jnp.int32)
+            build_out = jnp.full((C,), -1, jnp.int32)
+            total = jnp.int32(0)
+        in_rows = r < total
+        return (jnp.where(in_rows, probe_out, -1),
+                jnp.where(in_rows, build_out, -1), total)
+
+    if fast_how:
+        from ..utils import shard_compat
+
+        def _vma_equalized(f):
+            # under shard_map the fast branch's constant outputs (iota,
+            # -1 fills) carry no varying manual axes while the general
+            # branch's do — promote every branch output to the union,
+            # anchored on the (always-varying) probe lengths
+            def g(op):
+                out = tuple(f(op)) + (ln[:1],)
+                return tuple(shard_compat.promote_carry(out))[:-1]
+            return g
+
+        probe_out, build_out, total = lax.cond(
+            fast_flag, _vma_equalized(unique_expand),
+            _vma_equalized(general_expand), jnp.int32(0))
+    else:
+        probe_out, build_out, total = general_expand(None)
 
     # ---- right/full: append unmatched build rows ------------------------
     if how in ("right", "full"):
+        # lo holds SORTED positions here (fast_how is false); clamp against
+        # the valid prefix as the general expansion does
+        hi = jnp.minimum(lo + ln, n_build_valid)
+        lo = jnp.minimum(lo, n_build_valid)
+        cnt = jnp.where(probe_kv, hi - lo, 0)
         # matched sorted-build positions via ±1 run markers + cumsum
         marks = jnp.zeros((nb + 1,), dtype=jnp.int32)
         touch = cnt > 0
@@ -338,11 +426,8 @@ def join_multi(probe_keys_list, build_keys_list, capacity: int,
                       cand.overflow | (total > C))
 
 
-_PROBE_WINDOW = 4
-
-
 def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
-                       table_factor: int = 16):
+                       perm=None, table_factor: int = 16):
     """Resolve each probe key to its duplicate-run [start, start+len) range
     in the SORTED build order — the general-join probe.
 
@@ -354,32 +439,38 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     first-fit linear probing admits the classic parking-function scan
     ``pos_i = i + cummax(h_i - i)`` (if the previous entry pushed past our
     home we take the next slot, else we sit at home). Every pos is final,
-    strictly increasing, and written with ONE sorted-unique scatter — the
-    old loop ran 10 full scatter rounds (~1.57 s at 1M build rows on v5e);
-    this is one 1M-row sort (~5 ms bitonic) + one scan + one scatter.
+    strictly increasing, and written with ONE sorted-unique scatter.
 
-    Probe: each round gathers a W=4-slot WINDOW (one [np, W*4] i32 row
-    gather; ~31 ns/row at 64 B on v5e) and resolves up to W chain steps at
-    once: at bucket load 1/4 (factor 16) nearly every probe resolves in
-    the first pass. Linear probing is what makes the window trick legal: a
-    key's chain occupies consecutive slots, and an empty slot inside the
-    window proves absence.
+    Probe: each round gathers ONE 16-byte single-slot entry per unresolved
+    row — measured 7 ns/row on v5e vs 12 ns for the previous 4-slot 64-byte
+    window; at slot load 1/16 (factor 16) chains are almost always length
+    1, so the narrow entry wins. An empty slot proves absence (linear
+    probing); the probe walks slots un-wrapped into an nb-slot slack tail,
+    so pathological all-one-home builds still terminate in-bounds.
 
-    Clusters never wrap: the table carries an nb-slot slack tail past T, so
-    a pathological all-keys-one-bucket build still places in-bounds, and
-    the probe walks buckets un-wrapped through the tail.
+    When ``perm`` is given (sorted-order → original row permutation),
+    LENGTH-1 runs store the ORIGINAL build row index in the start field
+    instead of the sorted position (length > 1 runs keep sorted
+    positions); callers branch per-row on len == 1, and on the returned
+    ``all_unique`` flag (lax.cond) to skip the run expansion entirely
+    (the PK-FK common case).
+
+    Returns (start, len, all_unique).
     """
     from ..utils.bits import split_i64
     from ..utils.hashing import hash32
     from .groupby import table_size_for
 
-    W = _PROBE_WINDOW
     nb = sorted_norm.shape[0]
     np_ = pk_norm.shape[0]
+    # widen small tables: factor 32 halves both chain incidence and chain
+    # length (round-1 resolution ~97%), for ≤512 MB of table
+    if nb <= (1 << 22):
+        table_factor = max(table_factor, 32)
     T = table_size_for(nb, table_factor)
-    # slack tail: worst-case first-fit overhang is < nb slots past the last
-    # home bucket; rounded up so the bucket-major reshape stays whole
-    T_tot = T + ((nb + W - 1) // W) * W
+    # slack tail: worst-case first-fit overhang is < nb slots past the
+    # last home slot
+    T_tot = T + nb
     sk64 = sorted_norm.astype(jnp.int64)
     slo, shi = split_i64(sk64)
     slo_i, shi_i = slo.view(jnp.int32), shi.view(jnp.int32)
@@ -399,15 +490,19 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     run_len = (jnp.minimum(nxt, jnp.asarray(n_valid).astype(jnp.int32))
                - iota)                               # ≥ 1 at start rows
 
-    NB_ = T // W                                     # buckets of W slots
-    # home slot = start of the home BUCKET: linear probing from a W-aligned
-    # start means every chain is a run of consecutive whole buckets, so the
-    # probe can fetch one bucket per round as a plain [np, W*4] row gather
-    # (vmap(dynamic_slice) windows compile ~200 s on this toolchain; row
-    # gathers compile in seconds)
-    h0 = ((hash32(sk64) % jnp.uint32(NB_)).astype(jnp.int32)
-          * jnp.int32(W))
-    rows = jnp.stack([slo_i, shi_i, iota, run_len], axis=1)
+    all_unique = ~jnp.any(is_start & (run_len > 1))
+    if perm is not None:
+        # length-1 runs store the ORIGINAL build row (perm[sorted_pos]) —
+        # per-row, so the general expansion stays correct on mixed
+        # workloads: it reads start directly when len == 1 and
+        # perm[start + j] otherwise
+        start_field = jnp.where(run_len == 1, perm.astype(jnp.int32), iota)
+    else:
+        start_field = iota
+        all_unique = jnp.zeros((), bool)
+
+    h0 = (hash32(sk64) % jnp.uint32(T)).astype(jnp.int32)
+    rows = jnp.stack([slo_i, shi_i, start_field, run_len], axis=1)
 
     # ---- closed-form first-fit placement ----
     from .sort import sort_permutation
@@ -419,51 +514,104 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     # pos is STRICTLY increasing over all rows (i strictly increasing +
     # nondecreasing cummax); non-starts inherit the sentinel
     # (hs - iota ≥ T_tot - i ⇒ pos ≥ T_tot ⇒ out of bounds ⇒ dropped), and
-    # start rows fit below T_tot (homes ≤ T - W, overhang < nb ≤ slack)
+    # start rows fit below T_tot (homes ≤ T - 1, overhang < nb ≤ slack)
     table = jnp.zeros((T_tot, 4), dtype=jnp.int32)    # (lo, hi, start, len)
     table = table.at[pos].set(
         rows[order], mode="drop", indices_are_sorted=True,
         unique_indices=True)
 
-    # bucket-major view: one row = one whole W-slot bucket (W*4 i32)
-    NB_tot = T_tot // W
-    table_wide = table.reshape(NB_tot, W * 4)
-
     pk64 = pk_norm.astype(jnp.int64)
     plo, phi = split_i64(pk64)
     plo_i, phi_i = plo.view(jnp.int32), phi.view(jnp.int32)
-    h0p = (hash32(pk64) % jnp.uint32(NB_)).astype(jnp.int32)
+    h0p = (hash32(pk64) % jnp.uint32(T)).astype(jnp.int32)
 
-    def pcond(state):
-        i, _, _, _, unresolved = state
-        return jnp.logical_and(i < jnp.int32(NB_tot), unresolved.any())
+    # ---- round 1: one unrolled full-width probe --------------------------
+    # At slot load 1/16 ~94-97% of probes resolve here (home hit or home
+    # empty). The chain-walk continuation must NOT run full-width: a
+    # while_loop gathers ALL np rows per round and runs as many rounds as
+    # the LONGEST chain (~6 at 1M entries) — 5 wasted full passes
+    # (measured 58 ns/row at 100M). Instead the unresolved residue is
+    # compacted and walked at 1/8 width, with a full-width fallback loop
+    # that executes zero iterations unless the residue overflows the
+    # subset capacity (adversarial key sets).
+    got = table[jnp.where(probe_kv, h0p, 0)]                 # [np, 4]
+    occ = got[:, 3] > 0
+    hit = occ & (got[:, 0] == plo_i) & (got[:, 1] == phi_i)
+    take = probe_kv & hit
+    start = jnp.where(take, got[:, 2], 0)
+    ln = jnp.where(take, got[:, 3], 0)
+    unresolved = probe_kv & occ & ~hit
 
-    def pbody(state):
-        i, bkt, start, ln, unresolved = state
-        win = table_wide[jnp.where(unresolved, bkt, 0)]      # [np, W*4]
-        hit_any = jnp.zeros((np_,), bool)
-        empty_any = jnp.zeros((np_,), bool)
-        for j in range(W):
-            occ_j = win[:, 4 * j + 3] > 0
-            hit_j = occ_j & (win[:, 4 * j] == plo_i) \
-                & (win[:, 4 * j + 1] == phi_i)
-            take = unresolved & hit_j & ~hit_any
-            start = jnp.where(take, win[:, 4 * j + 2], start)
-            ln = jnp.where(take, win[:, 4 * j + 3], ln)
-            hit_any = hit_any | hit_j
-            empty_any = empty_any | ~occ_j
-        # resolved on a hit, or on an empty slot anywhere in the bucket
-        # (linear probing from a bucket-aligned home: the chain ends there)
-        unresolved = unresolved & ~hit_any & ~empty_any
-        # un-wrapped advance: chains may extend into the slack tail past T
-        return (i + 1, bkt + 1, start, ln, unresolved)
+    # ---- subset continuation --------------------------------------------
+    from .compaction import compact_best
+
+    def _padded_compact(mask):
+        from .kernels.compaction_pallas import BLOCK
+
+        n0 = mask.shape[0]
+        npad = ((n0 + BLOCK - 1) // BLOCK) * BLOCK
+        if npad != n0:
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((npad - n0,), mask.dtype)])
+        return compact_best(mask)
+
+    cap = min(np_, max(4096, np_ // 8))
+    idx_un, n_un, _ = _padded_compact(unresolved)
+    sel = jnp.clip(idx_un[:cap].view(jnp.int32), 0, np_ - 1)
+    row_live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(
+        n_un, jnp.int32(cap))
+    pos_s = h0p[sel] + 1
+    plo_s, phi_s = plo_i[sel], phi_i[sel]
+    start_s = jnp.zeros((cap,), jnp.int32)
+    ln_s = jnp.zeros((cap,), jnp.int32)
 
     from ..utils import shard_compat
 
+    def scond(state):
+        i, _, _, _, unres = state
+        return jnp.logical_and(i < jnp.int32(T_tot), unres.any())
+
+    def sbody(state):
+        i, pos, st, l_, unres = state
+        g = table[jnp.where(unres, pos, 0)]                  # [cap, 4]
+        occ_ = g[:, 3] > 0
+        hit_ = occ_ & (g[:, 0] == plo_s) & (g[:, 1] == phi_s)
+        tk = unres & hit_
+        st = jnp.where(tk, g[:, 2], st)
+        l_ = jnp.where(tk, g[:, 3], l_)
+        # resolved on hit or empty slot (chain over — absence); chains may
+        # extend un-wrapped into the slack tail past T
+        return (i + 1, pos + 1, st, l_, unres & occ_ & ~hit_)
+
+    _, _, start_s, ln_s, _ = shard_compat.while_loop(
+        scond, sbody, (jnp.int32(0), pos_s, start_s, ln_s, row_live))
+    tgt = jnp.where(row_live, sel, jnp.int32(np_))
+    start = start.at[tgt].set(start_s, mode="drop")
+    ln = ln.at[tgt].set(ln_s, mode="drop")
+
+    # ---- overflow fallback (unresolved rows beyond cap): full-width walk,
+    # zero iterations unless cap overflowed ------------------------------
+    covered = jnp.zeros((np_ + 1,), bool).at[tgt].set(
+        True, mode="drop")[:np_]
+    unresolved2 = unresolved & ~covered
+
+    def pcond(state):
+        i, _, _, _, unres = state
+        return jnp.logical_and(i < jnp.int32(T_tot), unres.any())
+
+    def pbody(state):
+        i, slot, st, l_, unres = state
+        g = table[jnp.where(unres, slot, 0)]                 # [np, 4]
+        occ_ = g[:, 3] > 0
+        hit_ = occ_ & (g[:, 0] == plo_i) & (g[:, 1] == phi_i)
+        tk = unres & hit_
+        st = jnp.where(tk, g[:, 2], st)
+        l_ = jnp.where(tk, g[:, 3], l_)
+        return (i + 1, slot + 1, st, l_, unres & occ_ & ~hit_)
+
     _, _, start, ln, _ = shard_compat.while_loop(
-        pcond, pbody, (jnp.int32(0), h0p, jnp.zeros((np_,), jnp.int32),
-                       jnp.zeros((np_,), jnp.int32), probe_kv))
-    return start, ln
+        pcond, pbody, (jnp.int32(0), h0p + 1, start, ln, unresolved2))
+    return start, ln, all_unique
 
 
 def _hash_probe_unique(probe_keys, build_keys, probe_kv, build_kv):
