@@ -79,13 +79,17 @@ def compact_best(mask, payload: Sequence = (), index_dtype=jnp.uint32):
     import jax
 
     n = mask.shape[0]
-    from .kernels.compaction_pallas import BLOCK, compact_columns
+    from .kernels.compaction_pallas import LANE, compact_columns
 
-    supported = (jax.default_backend() == "tpu" and n % BLOCK == 0
-                 and n >= BLOCK)
-    if supported:
+    # adaptive block size: largest measured-fastest block that divides n
+    # (r4 sweep: 64 rows/block > 32 > 16; below 8 the kernel overheads
+    # lose to the sort)
+    rows = next((r for r in (64, 32, 16, 8) if n % (r * LANE) == 0
+                 and n >= r * LANE), None)
+    if jax.default_backend() == "tpu" and rows is not None:
         try:
-            idx, cols, count = compact_columns(mask, list(payload))
+            idx, cols, count = compact_columns(mask, list(payload),
+                                               rows_per_block=rows)
             return idx.view(jnp.uint32) if idx.dtype != jnp.uint32 else idx, \
                 count, cols
         except (NotImplementedError, ValueError):

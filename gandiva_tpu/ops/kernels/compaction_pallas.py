@@ -35,17 +35,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 SUB = 8                    # sublanes per int32 vreg
-DEFAULT_ROWS = 32          # chunks (sublane rows) per block — swept on v5e:
-                           # 16→386, 32→442, 64→421, 128→356 Mrows/s @16M
+DEFAULT_ROWS = 64          # chunks (sublane rows) per block — swept on v5e
+                           # (r4, XLA-side rowoffs): 16→367, 32→456,
+                           # 64→554, 128→527 Mrows/s @16M; 256+ fail to
+                           # compile (giant static store unroll)
 BLOCK = DEFAULT_ROWS * LANE  # 4096 rows per block
 
 
-def _kernel(offsets_ref, mask_ref, *refs, num_payloads: int, rows: int):
+def _kernel(offsets_ref, rowoffs_ref, mask_ref, *refs, num_payloads: int,
+            rows: int):
     """One grid step: pack one block of ``rows*LANE`` rows.
 
     refs layout: payload_in × num_payloads, out × num_payloads (ANY/HBM),
-    then scratch: accum VMEM [num_payloads, rows*LANE + LANE], copy
-    semaphore.
+    then scratch: accum VMEM [num_payloads, rows*LANE + LANE], offs SMEM,
+    copy semaphores.
+
+    rowoffs_ref: [nb, rows(->LANE-padded)] int32 in HBM — each chunk's
+    exclusive survivor prefix WITHIN its block, computed in XLA. The
+    kernel used to derive it in-kernel and copy it to SMEM with a per-row
+    vector→scalar extract loop; DMA-ing the precomputed row HBM→SMEM
+    instead (overlapped with the butterfly) plus the r4 block-size resweep
+    took the kernel 442 → 554 Mrows/s at 16M. The remaining per-block
+    floor is the sequential boundary-tile read→merge→write DMA chain
+    (~5-6 us/block): blocks share their first 1024-elem tile with the
+    previous block's tail, and the TPU grid serializes the dependency.
     """
     i = pl.program_id(0)
     payload_in = refs[:num_payloads]
@@ -56,6 +69,11 @@ def _kernel(offsets_ref, mask_ref, *refs, num_payloads: int, rows: int):
     tmps = refs[3 * num_payloads:4 * num_payloads]   # VMEM [rows, LANE] each
     offs = refs[4 * num_payloads]          # SMEM [rows]
     sem = refs[4 * num_payloads + 1]
+    offsem = refs[4 * num_payloads + 2]
+
+    # start the row-offsets DMA first; it lands in SMEM while the butterfly
+    # runs
+    pltpu.make_async_copy(rowoffs_ref.at[i], offs, offsem).start()
 
     m = mask_ref[...].astype(jnp.int32)              # [rows, LANE] 0/1
     lane_iota2 = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
@@ -67,11 +85,6 @@ def _kernel(offsets_ref, mask_ref, *refs, num_payloads: int, rows: int):
         s = s + jnp.where(lane_iota2 >= sh, pltpu.roll(s, jnp.int32(sh), 1),
                           jnp.zeros_like(s))
     dest = s - m                                     # [rows, LANE]
-    cnt = s[:, LANE - 1]                             # inclusive prefix tail
-    lower = (lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-             < lax.broadcasted_iota(jnp.int32, (rows, rows), 0))
-    row_off = jnp.sum(cnt[None, :] * lower.astype(jnp.int32), axis=1,
-                      dtype=jnp.int32)               # [rows]
 
     # stable pack via LSB-first butterfly routing: validated conflict-free
     # for monotone (compaction) destinations — each stage k swaps position
@@ -110,8 +123,7 @@ def _kernel(offsets_ref, mask_ref, *refs, num_payloads: int, rows: int):
     for p in range(num_payloads):
         tmps[p][...] = payloads[p]                   # [rows, LANE] packed
 
-    for r in range(rows):          # SMEM accepts only scalar stores
-        offs[r] = row_off[r]
+    pltpu.make_async_copy(rowoffs_ref.at[i], offs, offsem).wait()
 
     # Placement without unaligned stores: a 1-D int32 VMEM ref is tiled in
     # 1024-element vregs, so the only legal dynamic store base is a multiple
@@ -185,7 +197,15 @@ def compact_pallas_u32(mask, payloads_u32: Sequence,
     num_payloads = len(payloads_u32)
 
     m2 = mask.astype(jnp.int32).reshape(nb, rows_per_block, LANE)
-    counts = jnp.sum(mask.astype(jnp.int32).reshape(nb, B), axis=1)
+    chunk_cnt = jnp.sum(m2, axis=2)                       # [nb, rows]
+    rowoffs = (jnp.cumsum(chunk_cnt, axis=1) - chunk_cnt).astype(jnp.int32)
+    # pad the row dim to LANE: DMA slices must be 128-aligned
+    rpad = ((rows_per_block + LANE - 1) // LANE) * LANE
+    if rpad != rows_per_block:
+        rowoffs = jnp.concatenate(
+            [rowoffs, jnp.zeros((nb, rpad - rows_per_block), jnp.int32)],
+            axis=1)
+    counts = jnp.sum(chunk_cnt, axis=1)
     offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
     count = counts.sum()
 
@@ -194,9 +214,10 @@ def compact_pallas_u32(mask, payloads_u32: Sequence,
         grid=(nb,),
         # index-map zeros derive from i so they stay int32 — python-int
         # literals lower as i64 under x64, which Mosaic cannot legalize
-        in_specs=[pl.BlockSpec((1, rows_per_block, LANE),
-                               lambda i, *_: (i, i * 0, i * 0),
-                               memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec((1, rows_per_block, LANE),
+                        lambda i, *_: (i, i * 0, i * 0),
+                        memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((1, rows_per_block, LANE),
                         lambda i, *_: (i, i * 0, i * 0),
                         memory_space=pltpu.VMEM)] * num_payloads,
@@ -206,15 +227,16 @@ def compact_pallas_u32(mask, payloads_u32: Sequence,
              for _ in range(num_payloads)]
             + [pltpu.VMEM((rows_per_block, LANE), jnp.int32)
                for _ in range(num_payloads)]
-            + [pltpu.SMEM((rows_per_block,), jnp.int32),
-               pltpu.SemaphoreType.DMA((num_payloads,))]),
+            + [pltpu.SMEM((rpad,), jnp.int32),
+               pltpu.SemaphoreType.DMA((num_payloads,)),
+               pltpu.SemaphoreType.DMA(())]),
     )
 
-    def kernel(offsets_ref, mask_ref, *refs):
+    def kernel(offsets_ref, rowoffs_ref, mask_ref, *refs):
         mask_r = mask_ref.at[0]
         ins = [r.at[0] for r in refs[:num_payloads]]
         rest = refs[num_payloads:]
-        _kernel(offsets_ref, mask_r, *(tuple(ins) + tuple(rest)),
+        _kernel(offsets_ref, rowoffs_ref, mask_r, *(tuple(ins) + tuple(rest)),
                 num_payloads=num_payloads, rows=rows_per_block)
 
     outs = pl.pallas_call(
@@ -223,7 +245,7 @@ def compact_pallas_u32(mask, payloads_u32: Sequence,
         * num_payloads,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, m2,
+    )(offsets, rowoffs, m2,
       *[p.reshape(nb, rows_per_block, LANE) for p in payloads_u32])
     return [o[:n] for o in outs], count.astype(jnp.int32)
 

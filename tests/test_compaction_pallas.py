@@ -50,7 +50,7 @@ def test_butterfly_matches_sort():
     n = 4096
     mask = jnp.asarray(rng.random(n) < 0.3)
     vals = jnp.asarray(rng.integers(0, 10**9, n))
-    idx1, cols, c1 = cp.compact_columns(mask, [vals])
+    idx1, cols, c1 = cp.compact_columns(mask, [vals], rows_per_block=32)
     idx2, c2, packed = compact_sort(mask, [vals])
     assert int(c1) == int(c2)
     np.testing.assert_array_equal(np.asarray(idx1)[:int(c1)],
