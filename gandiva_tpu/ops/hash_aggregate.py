@@ -132,13 +132,16 @@ def _segment_reduce_scatter(gid, values, num_groups: int, G: int, kind: str,
 
 
 _SIGNED_INTS = (jnp.int8, jnp.int16, jnp.int32, jnp.int64)
+_FLOATS = (jnp.float32, jnp.float64)
 
 
 def _pallas_eligible(keys, aggs, values, max_groups: int,
                      backend: str) -> bool:
     """One-pass Pallas kernel preconditions (kernels/agg_pallas.py): TPU (or
-    forced interpret mode for tests), integer keys, signed-integer values,
-    group capacity within the kernel's 128-slot table."""
+    forced interpret mode for tests), integer keys, signed-integer or float
+    values (r4: floats ride as normalized planes with compensated sums),
+    group capacity within the kernel's 1024-slot chunked table (r4: was
+    128)."""
     from .kernels.agg_pallas import G as _G
 
     if backend == "xla":
@@ -156,7 +159,7 @@ def _pallas_eligible(keys, aggs, values, max_groups: int,
         if kind == "count_all":
             continue
         arr, _ = values[name]
-        if arr.dtype not in _SIGNED_INTS:
+        if arr.dtype not in _SIGNED_INTS and arr.dtype not in _FLOATS:
             return False
     return True
 
@@ -197,15 +200,32 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
     specs = []
     for name in col_order:
         arr, vv = values[name]
-        v64 = arr.astype(jnp.int64)
-        vlo, vhi = (x.view(jnp.int32) for x in split_i64(v64))
+        if arr.dtype in _FLOATS:
+            # order-preserving normalized planes (sort._norm_f32): min/max
+            # ride the integer lex compare; sums invert in-kernel
+            from .sort import _norm_f32
+
+            if arr.dtype == jnp.float64:
+                hi = arr.astype(jnp.float32)
+                lo = (arr - hi.astype(jnp.float64)).astype(jnp.float32)
+            else:
+                hi = jnp.zeros(arr.shape, jnp.float32)
+                lo = arr
+            vhi = (_norm_f32(hi) ^ jnp.uint32(0x8000_0000)).view(jnp.int32)
+            vlo = _norm_f32(lo).view(jnp.int32)
+            is_float = True
+        else:
+            v64 = arr.astype(jnp.int64)
+            vlo, vhi = (x.view(jnp.int32) for x in split_i64(v64))
+            is_float = False
         limbs = [vlo, vhi]
         if vv is not None:
             limbs.append(vv.astype(jnp.int32))
         value_limbs.append(tuple(limbs))
         specs.append(ak.ValueSpec(want_sum=col_need[name][0],
                                   want_minmax=col_need[name][1],
-                                  has_valid=vv is not None))
+                                  has_valid=vv is not None,
+                                  is_float=is_float))
     if not col_order:
         # count_all-only query: ride the key limbs as a dummy value column
         value_limbs.append((klo, khi))
@@ -273,17 +293,40 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
             out[f"agg:{name}:count_all"] = place(call)
             continue
         vdt = values[name][0].dtype
+        is_float = vdt in _FLOATS
         if kind == "count":
             out[f"agg:{name}:count"] = place(cval)
         elif kind in ("sum", "mean"):
-            s = place(ak.sum_from(acc))
+            if is_float:
+                s = place(ak.sum_from_float(acc))
+                cv = place(cval)
+                s = jnp.where(cv > 0, s, 0.0)
+            else:
+                s = place(ak.sum_from(acc))
             if kind == "sum":
-                out[f"agg:{name}:sum"] = s
+                out[f"agg:{name}:sum"] = s.astype(vdt) if is_float else s
             else:
                 c = place(cval)
                 r = s.astype(jnp.float64) / jnp.maximum(c, 1)
                 out[f"agg:{name}:mean"] = jnp.where(c > 0, r, jnp.nan)
-        else:  # min / max
+        elif is_float:  # float min / max: denormalize the encoded planes
+            (mnh, mnl), (mxh, mxl) = ak.minmax_bits_from(acc)
+            h, l = (mnh, mnl) if kind == "min" else (mxh, mxl)
+
+            def inv_plane(bits_i32):
+                u = bits_i32.view(jnp.uint32)
+                sign = jnp.uint32(0x8000_0000)
+                b = jnp.where(u & sign != 0, u ^ sign, ~u)
+                return b.view(jnp.float32)
+
+            # hi plane carries the kernel's extra sign bias
+            hv = inv_plane(h.view(jnp.uint32) ^ jnp.uint32(0x8000_0000))
+            val = hv.astype(jnp.float64) + inv_plane(l).astype(jnp.float64)
+            cv = place(cval)
+            ident = jnp.inf if kind == "min" else -jnp.inf
+            d = jnp.where(cv > 0, place(val), ident).astype(vdt)
+            out[f"agg:{name}:{kind}"] = d
+        else:  # integer min / max
             mn, mx = ak.minmax_from(acc)
             d = place(mn if kind == "min" else mx)
             if vdt != jnp.int64:

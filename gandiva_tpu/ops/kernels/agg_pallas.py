@@ -1,8 +1,8 @@
-"""Pallas one-pass hash aggregate for low-cardinality GROUP BY.
+"""Pallas one-pass hash aggregate for low/mid-cardinality GROUP BY.
 
-Replaces the XLA path (ops/hash_aggregate.py) on TPU for integer keys and
-values with <=128 groups: group discovery AND sum/count/min/max accumulate in
-a single pass over HBM. Reference behavior: Acero 'aggregate' oracle
+Replaces the XLA path (ops/hash_aggregate.py) on TPU for integer AND float
+values with <=1024 groups: group discovery AND sum/count/min/max accumulate
+in a single pass over HBM. Reference behavior: Acero 'aggregate' oracle
 (SURVEY.md SS2c, BASELINE configs[1]); the reference Gandiva itself has no
 aggregate -- this operator's contract comes from pyarrow.acero.
 
@@ -14,42 +14,58 @@ block and every reduction paid a sublane->lane relayout):
   the group table and accumulators live in VMEM *outputs* with constant
   index maps (one window for the whole run), initialized at step 0 with two
   vector stores (no scalar-unrolled init).
-- The whole block compares against the whole table at once: a 3-D broadcast
-  oh[S, G, L] = (khi[S,1,L] == tbl_hi[1,G,1]) & (klo == tbl_lo)
-                & key_valid & (slot < cnt)
-  -- no loop over groups, no relayouts (keys stay in their natural (sublane,
-  lane) tiles; the table broadcasts from a [G,1] lane-column). Every
-  aggregate is then a masked reduction over axes (0, 2) producing a [G]
-  sublane vector, accumulated into a [G+8, 16-lane] VMEM accumulator with
-  vector ops. ~26 VPU passes over [S,G,L] per block ~= 0.4-0.9 cycles/row.
+- The whole block compares against a 128-slot CHUNK of the table at once:
+  oh[S, GC, L] = (khi[S,1,L] == tbl_hi[1,GC,1]) & (klo == tbl_lo)
+                 & key_valid & (slot < cnt)
+  -- no loop over groups, no relayouts. Every aggregate is a masked
+  reduction over axes (0, 2) producing a [GC] sublane vector, accumulated
+  into rows [c0, c0+GC) of a [Gcap+8, 16-lane] VMEM accumulator. Capacities
+  above 128 groups loop over static chunks (r4: the V2 kernel capped at
+  128; chunking extends the tier to 1024 at proportional VPU cost, still
+  far ahead of the XLA scatter tier's ~8 ns/row/aggregate).
 - The slot<cnt mask keeps rows from matching undiscovered (zero-initialized)
-  table slots; capacity G is STATIC per call (max_groups rounded up to 8,
-  capped at 128), so 64-group queries do half the VPU work of 128.
+  table slots; capacity is STATIC per call (max_groups rounded up to 8),
+  so 64-group queries do a fraction of a 1024-group query's VPU work.
 - Unmatched keys insert via a masked-vector table write
   (tbl = where(slot_iota == cnt, new_key, tbl)) -- no dynamic stores --
-  smallest key first, so discovery order is deterministic. Insertions are
-  bounded by G over the WHOLE run; steady-state blocks never enter the loop.
-  More than G distinct keys sets the overflow flag (Status-style error
-  surface, SURVEY.md SS5.3 -- caller falls back).
-- Exactness without 64-bit arithmetic (Mosaic has no i64): values split
-  into four 16-bit limbs; per-block masked limb sums are <= S*128*(2^16-1)
-  < 2^31 (S <= 64), accumulated into (lo, carry) i32 pairs with
-  unsigned-wrap carry detection -- exact int64 sums (mod 2^64) for any row
-  count. Min/max compare as (signed hi, bias-flipped lo) pairs,
-  lexicographically, all as [G]-vector updates.
-- Null-key rows (SQL: nulls form their own group) accumulate into SMEM
-  scalars, merged into reserved accumulator row G at the last block.
+  smallest ENCODED key first, so discovery order is deterministic.
+  Insertions are bounded by Gcap over the WHOLE run; steady-state blocks
+  never enter the loop. More than Gcap distinct keys sets the overflow
+  flag (Status-style error surface, SURVEY.md SS5.3 -- caller falls back).
+- INTEGER values, exactness without 64-bit arithmetic (Mosaic has no i64):
+  values split into four 16-bit limbs; per-block masked limb sums are
+  <= S*128*(2^16-1) < 2^31 (S <= 64), accumulated into (lo, carry) i32
+  pairs with unsigned-wrap carry detection -- exact int64 sums (mod 2^64)
+  for any row count. Min/max compare as (signed hi, bias-flipped lo)
+  pairs, lexicographically, all as [GC]-vector updates.
+- FLOAT values (r4): the caller encodes each float column as order-
+  preserving normalized limb planes (ops/sort.normalize_key per plane:
+  f64 -> (hi=f32(x), lo=f32(x-hi)) double-float planes; f32 -> one plane).
+  Min/max then ride the SAME lexicographic limb compare as integers. For
+  sums the kernel inverts the normalization in-register (bit flip +
+  pltpu.bitcast) to recover the f32 planes and accumulates each plane with
+  a compensated TwoSum pair -- f64-class precision across blocks, f32-tree
+  precision within a block (~1e-7 relative on uniform data; floats are
+  order-dependent in Arrow too, so the oracle comparison is rtol-based).
+- Null-key rows (SQL: nulls form their own group) accumulate into reserved
+  accumulator row Gcap through the same vector machinery ([1,1] partials),
+  replacing the V2 SMEM scalar side-path (which could not express float
+  compensation).
 
-Empty-group identities match ops/hash_aggregate.segment_reduce: sum/count 0,
-min int64::max, max int64::min (the lane init values decode to exactly
-these).
+Empty-group identities match ops/hash_aggregate.segment_reduce: sum/count
+0, min int64::max, max int64::min (the lane init values decode to exactly
+these; float decode swaps identities on count==0 in the caller).
 
-Accumulator lane layout per value column (acc[G+8, 16] i32):
-  0/1   count_all  (lo, carry)
-  2/3   count_valid (lo, carry)
-  4..11 sum 16-bit limb k -> lanes (4+2k, 5+2k) as (lo, carry)
-  12/13 min (hi signed, lo bias-flipped)
-  14/15 max (hi signed, lo bias-flipped)
+Accumulator lane layout per value column (acc[Gcap+8, 16] i32):
+  integer spec:
+    0/1   count_all  (lo, carry)
+    2/3   count_valid (lo, carry)
+    4..11 sum 16-bit limb k -> lanes (4+2k, 5+2k) as (lo, carry)
+    12/13 min (hi signed, lo bias-flipped)
+    14/15 max (hi signed, lo bias-flipped)
+  float spec: same except sum lanes hold f32 bit patterns:
+    4/5   hi-plane (sum, compensation)
+    6/7   lo-plane (sum, compensation)
 """
 from __future__ import annotations
 
@@ -63,13 +79,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-G = 128                      # MAX group-table capacity
+G = 1024                     # MAX group-table capacity (r4: was 128)
+GC = 128                     # table chunk compared per vector pass
 # numpy scalars, not jnp: jnp constants at module scope become concrete
 # device arrays that pallas_call would treat as captured consts
 I32MAX = np.int32(2**31 - 1)
 I32MIN = np.int32(-2**31)
 
-# null-group SMEM scalar slots (per value column), mirroring the acc lanes
 _NLANES = 16
 
 
@@ -78,6 +94,7 @@ class ValueSpec(NamedTuple):
     want_sum: bool = True
     want_minmax: bool = True
     has_valid: bool = False
+    is_float: bool = False     # limbs are normalized float planes
 
 
 def capacity_for(max_groups: int) -> int:
@@ -87,7 +104,7 @@ def capacity_for(max_groups: int) -> int:
 
 def _choose_rows(n):
     """Sublanes per block: S*128-row blocks; S=64 keeps the per-block masked
-    limb sums < 2^31 (exactness) and the [S,G,L] intermediates ~<=2 MB."""
+    limb sums < 2^31 (exactness) and the [S,GC,L] intermediates ~<=4 MB."""
     for s in (64, 32, 16, 8):
         if n >= s * LANE:
             return s
@@ -111,11 +128,6 @@ def _scalar_min(x):
     return jnp.min(r.reshape(1, -1), axis=1)[0]
 
 
-def _scalar_max(x):
-    r = jnp.max(x, axis=1)
-    return jnp.max(r.reshape(1, -1), axis=1)[0]
-
-
 def _limbs16(vlo, vhi):
     """[S,L] i32 limb pair -> four [S,L] 16-bit limb planes (i32)."""
     M16 = jnp.int32(0xFFFF)
@@ -124,11 +136,18 @@ def _limbs16(vlo, vhi):
             vhi & M16, lax.shift_right_logical(vhi, s16))
 
 
+def _inv_norm_plane(bits_i32):
+    """Invert ops/sort._norm_f32 on an i32 bit-plane -> f32 values.
+    norm: b&sign ? ~b : b|sign;  inverse: n&sign ? n^sign : ~n."""
+    neg = bits_i32 < 0                      # sign bit set
+    orig = jnp.where(neg, bits_i32 ^ I32MIN, ~bits_i32)
+    return pltpu.bitcast(orig, jnp.float32)
+
+
 def _kernel(kv_ref, klo_ref, khi_ref, *refs,
             num_values: int, specs: Tuple[ValueSpec, ...], S: int,
             Gcap: int, has_null_path: bool, nb: int):
     nv = num_values
-    GN = Gcap + 8
     # remaining input refs: per value (vlo, vhi[, vvalid])
     vrefs = []
     p = 0
@@ -138,13 +157,11 @@ def _kernel(kv_ref, klo_ref, khi_ref, *refs,
         p += k
     tbl_ref = refs[p]                                # VMEM [Gcap, LANE]
     meta_ref = refs[p + 1]                           # SMEM [8]
-    null_ref = refs[p + 2]                           # SMEM [nv, 16]
-    acc_refs = refs[p + 3:p + 3 + nv]                # VMEM [GN, LANE] each
-    matched_ref = refs[p + 3 + nv]                   # VMEM [S, LANE] scratch
+    acc_refs = refs[p + 2:p + 2 + nv]                # VMEM [Gcap+8, LANE]
+    matched_ref = refs[p + 2 + nv]                   # VMEM [S, LANE] scratch
 
+    GN = Gcap + 8
     lane2 = lax.broadcasted_iota(jnp.int32, (GN, LANE), 1)
-    gi2 = lax.broadcasted_iota(jnp.int32, (GN, LANE), 0)
-    gcol = lax.broadcasted_iota(jnp.int32, (Gcap, 1), 0)     # [Gcap,1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -156,13 +173,6 @@ def _kernel(kv_ref, klo_ref, khi_ref, *refs,
         for v in range(nv):
             acc_refs[v][...] = init
         tbl_ref[...] = jnp.zeros((Gcap, LANE), jnp.int32)
-        for v in range(nv):
-            for j in (12, 13):
-                null_ref[v, j] = I32MAX
-            for j in (14, 15):
-                null_ref[v, j] = I32MIN
-            for j in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11):
-                null_ref[v, j] = jnp.int32(0)
 
     kv = kv_ref[...]                                 # [S,L] 0/1/2 code
     klo = klo_ref[...]
@@ -180,88 +190,125 @@ def _kernel(kv_ref, klo_ref, khi_ref, *refs,
         vals.append((vlo, vhi, vv))
 
     # ---- 64-bit (lo, carry) vector accumulate into acc lanes -------------
-    def _acc64v(acc, lane, pcol):
-        """pcol: [Gcap, 1] i32 >= 0 partial; lanes (lane, lane+1)."""
-        old = acc[0:Gcap, lane:lane + 1]
+    def _acc64v(acc, r0, nr, lane, pcol):
+        """pcol: [nr, 1] i32 >= 0 partial; rows [r0, r0+nr), lanes
+        (lane, lane+1)."""
+        old = acc[r0:r0 + nr, lane:lane + 1]
         new = old + pcol
         carry = (new.astype(jnp.uint32) < pcol.astype(jnp.uint32))
-        acc[0:Gcap, lane:lane + 1] = new
-        acc[0:Gcap, lane + 1:lane + 2] = \
-            acc[0:Gcap, lane + 1:lane + 2] + carry.astype(jnp.int32)
+        acc[r0:r0 + nr, lane:lane + 1] = new
+        acc[r0:r0 + nr, lane + 1:lane + 2] = \
+            acc[r0:r0 + nr, lane + 1:lane + 2] + carry.astype(jnp.int32)
 
-    def _reduce_sum3(x):
-        """[S,G,L] i32 -> [Gcap,1]: leading axis first, then lanes."""
-        t = jnp.sum(x, axis=0, dtype=jnp.int32)             # [G,L]
-        return jnp.sum(t, axis=1, dtype=jnp.int32).reshape(Gcap, 1)
+    def _accf32v(acc, r0, nr, lane, pcol):
+        """Compensated f32 accumulate: pcol [nr,1] f32 block partial into
+        bit-pattern lanes (sum, comp) via TwoSum."""
+        s0 = pltpu.bitcast(acc[r0:r0 + nr, lane:lane + 1], jnp.float32)
+        c0 = pltpu.bitcast(acc[r0:r0 + nr, lane + 1:lane + 2], jnp.float32)
+        t = s0 + pcol
+        bp = t - s0
+        e = (s0 - (t - bp)) + (pcol - bp)
+        acc[r0:r0 + nr, lane:lane + 1] = pltpu.bitcast(t, jnp.int32)
+        acc[r0:r0 + nr, lane + 1:lane + 2] = \
+            pltpu.bitcast(c0 + e, jnp.int32)
 
-    def _reduce_min3(x):
+    def _rsum3(x, nr):
+        """[S,nr,L] i32 -> [nr,1]: leading axis first, then lanes."""
+        t = jnp.sum(x, axis=0, dtype=jnp.int32)             # [nr,L]
+        return jnp.sum(t, axis=1, dtype=jnp.int32).reshape(nr, 1)
+
+    def _rsumf3(x, nr):
+        t = jnp.sum(x, axis=0, dtype=jnp.float32)
+        return jnp.sum(t, axis=1, dtype=jnp.float32).reshape(nr, 1)
+
+    def _rmin3(x, nr):
         t = jnp.min(x, axis=0)
-        return jnp.min(t, axis=1).reshape(Gcap, 1)
+        return jnp.min(t, axis=1).reshape(nr, 1)
 
-    def _reduce_max3(x):
+    def _rmax3(x, nr):
         t = jnp.max(x, axis=0)
-        return jnp.max(t, axis=1).reshape(Gcap, 1)
+        return jnp.max(t, axis=1).reshape(nr, 1)
 
-    def _update_minmax(acc, oh3, vhi3, vlo_b3):
+    def _update_minmax(acc, r0, nr, oh3, vhi3, vlo_b3):
         """Lexicographic (hi, biased lo) min into lanes 12/13, max 14/15."""
-        bh = _reduce_min3(jnp.where(oh3, vhi3, I32MAX))      # [Gcap,1]
-        bh3 = bh.reshape(1, Gcap, 1)
-        bl = _reduce_min3(jnp.where(oh3 & (vhi3 == bh3), vlo_b3, I32MAX))
-        ch = acc[0:Gcap, 12:13]
-        cl = acc[0:Gcap, 13:14]
+        bh = _rmin3(jnp.where(oh3, vhi3, I32MAX), nr)        # [nr,1]
+        bh3 = bh.reshape(1, nr, 1)
+        bl = _rmin3(jnp.where(oh3 & (vhi3 == bh3), vlo_b3, I32MAX), nr)
+        ch = acc[r0:r0 + nr, 12:13]
+        cl = acc[r0:r0 + nr, 13:14]
         better = (bh < ch) | ((bh == ch) & (bl < cl))
-        acc[0:Gcap, 12:13] = jnp.where(better, bh, ch)
-        acc[0:Gcap, 13:14] = jnp.where(better, bl, cl)
-        xh = _reduce_max3(jnp.where(oh3, vhi3, I32MIN))
-        xh3 = xh.reshape(1, Gcap, 1)
-        xl = _reduce_max3(jnp.where(oh3 & (vhi3 == xh3), vlo_b3, I32MIN))
-        ch = acc[0:Gcap, 14:15]
-        cl = acc[0:Gcap, 15:16]
+        acc[r0:r0 + nr, 12:13] = jnp.where(better, bh, ch)
+        acc[r0:r0 + nr, 13:14] = jnp.where(better, bl, cl)
+        xh = _rmax3(jnp.where(oh3, vhi3, I32MIN), nr)
+        xh3 = xh.reshape(1, nr, 1)
+        xl = _rmax3(jnp.where(oh3 & (vhi3 == xh3), vlo_b3, I32MIN), nr)
+        ch = acc[r0:r0 + nr, 14:15]
+        cl = acc[r0:r0 + nr, 15:16]
         better = (xh > ch) | ((xh == ch) & (xl > cl))
-        acc[0:Gcap, 14:15] = jnp.where(better, xh, ch)
-        acc[0:Gcap, 15:16] = jnp.where(better, xl, cl)
+        acc[r0:r0 + nr, 14:15] = jnp.where(better, xh, ch)
+        acc[r0:r0 + nr, 15:16] = jnp.where(better, xl, cl)
 
-    def _accumulate3(oh3):
-        """Main vector accumulation: oh3 [S,Gcap,L] bool membership."""
+    def _accumulate3(oh3, r0, nr):
+        """Vector accumulation of membership oh3 [S,nr,L] into acc rows
+        [r0, r0+nr)."""
         for v, s in enumerate(specs):
             acc = acc_refs[v]
             vlo, vhi, vv = vals[v]
-            cp = _reduce_sum3(oh3.astype(jnp.int32))
-            _acc64v(acc, 0, cp)
+            cp = _rsum3(oh3.astype(jnp.int32), nr)
+            _acc64v(acc, r0, nr, 0, cp)
             if vv is not None:
                 ohv = oh3 & vv.reshape(S, 1, LANE)
-                _acc64v(acc, 2, _reduce_sum3(ohv.astype(jnp.int32)))
+                _acc64v(acc, r0, nr, 2, _rsum3(ohv.astype(jnp.int32), nr))
             else:
                 ohv = oh3
-                _acc64v(acc, 2, cp)
-            if s.want_sum:
+                _acc64v(acc, r0, nr, 2, cp)
+            if s.want_sum and s.is_float:
+                hi_f = _inv_norm_plane(vhi ^ I32MIN).reshape(S, 1, LANE)
+                lo_f = _inv_norm_plane(vlo).reshape(S, 1, LANE)
+                z = jnp.float32(0)
+                _accf32v(acc, r0, nr, 4, _rsumf3(jnp.where(ohv, hi_f, z),
+                                                 nr))
+                _accf32v(acc, r0, nr, 6, _rsumf3(jnp.where(ohv, lo_f, z),
+                                                 nr))
+            elif s.want_sum:
                 for k, limb in enumerate(_limbs16(vlo, vhi)):
                     l3 = limb.reshape(S, 1, LANE)
-                    pk = _reduce_sum3(jnp.where(ohv, l3, jnp.int32(0)))
-                    _acc64v(acc, 4 + 2 * k, pk)
+                    pk = _rsum3(jnp.where(ohv, l3, jnp.int32(0)), nr)
+                    _acc64v(acc, r0, nr, 4 + 2 * k, pk)
             if s.want_minmax:
-                _update_minmax(acc, ohv, vhi.reshape(S, 1, LANE),
+                _update_minmax(acc, r0, nr, ohv, vhi.reshape(S, 1, LANE),
                                (vlo ^ I32MIN).reshape(S, 1, LANE))
+
+    def _chunked_pass(sel_lo, sel_hi, out_matched):
+        """Compare the block against table rows [sel_lo, sel_hi) chunk by
+        chunk; accumulate; optionally OR membership into matched_ref."""
+        for c0 in range(0, Gcap, GC):
+            nr = min(GC, Gcap - c0)
+            gcol = lax.broadcasted_iota(jnp.int32, (nr, 1), 0) + \
+                jnp.int32(c0)
+            gsel3 = ((gcol >= sel_lo) & (gcol < sel_hi)).reshape(1, nr, 1)
+            tlo3 = tbl_ref[c0:c0 + nr, 0:1].reshape(1, nr, 1)
+            thi3 = tbl_ref[c0:c0 + nr, 1:2].reshape(1, nr, 1)
+            oh3 = (khi3 == thi3) & (klo3 == tlo3) & km3 & gsel3
+            if out_matched:
+                # NOT jnp.any: a middle-axis bool any-reduce lowers to an
+                # f64 max multi_reduction Mosaic rejects; an i32 sum is fine
+                m = jnp.sum(oh3.astype(jnp.int32), axis=1, dtype=jnp.int32)
+                if c0 == 0:
+                    matched_ref[...] = m
+                else:
+                    matched_ref[...] = matched_ref[...] | m
+            _accumulate3(oh3, c0, nr)
 
     # ---- pass over already-discovered groups ------------------------------
     cnt0 = meta_ref[0]
-    gsel3 = (gcol < cnt0).reshape(1, Gcap, 1)
-    tlo3 = tbl_ref[:, 0:1].reshape(1, Gcap, 1)
-    thi3 = tbl_ref[:, 1:2].reshape(1, Gcap, 1)
-    oh3 = (khi3 == thi3) & (klo3 == tlo3) & km3 & gsel3      # [S,Gcap,L]
-    # NOT jnp.any: a middle-axis bool any-reduce lowers to an f64 max
-    # multi_reduction Mosaic rejects; an i32 sum lowers fine. matched lives
-    # in a VMEM scratch (i32 0/1), not a while carry: vector/mask carries
-    # through scf.while crash Mosaic's ApplyVectorLayout.
-    matched_ref[...] = jnp.sum(oh3.astype(jnp.int32), axis=1,
-                               dtype=jnp.int32)              # [S,L] 0/1
-    _accumulate3(oh3)
+    _chunked_pass(jnp.int32(0), cnt0, out_matched=True)
 
     # ---- discovery: insert unmatched keys, smallest first -----------------
     # The while body ONLY discovers (scalar reduces + a masked table write);
     # the newly inserted groups' rows accumulate afterwards in one predicated
-    # rerun of the vector pass. Keeping [Gcap,1] accumulator ops out of the
-    # while body avoids a Mosaic ApplyVectorLayout crash (scf_while_rule /
+    # rerun of the chunked pass. Keeping accumulator ops out of the while
+    # body avoids a Mosaic ApplyVectorLayout crash (scf_while_rule /
     # vector_extract_strided_slice) and runs the fast path on every block
     # that discovers nothing.
     def um_count():
@@ -297,63 +344,12 @@ def _kernel(kv_ref, klo_ref, khi_ref, *refs,
 
     @pl.when(cnt > cnt0)
     def _accumulate_new_groups():
-        nsel3 = ((gcol >= cnt0) & (gcol < cnt)).reshape(1, Gcap, 1)
-        ntlo3 = tbl_ref[:, 0:1].reshape(1, Gcap, 1)
-        nthi3 = tbl_ref[:, 1:2].reshape(1, Gcap, 1)
-        ohn = (khi3 == nthi3) & (klo3 == ntlo3) & km3 & nsel3
-        _accumulate3(ohn)
+        _chunked_pass(cnt0, cnt, out_matched=False)
 
-    # ---- null-key group: SMEM scalars, merged at the last block -----------
+    # ---- null-key group: reserved accumulator row Gcap --------------------
     if has_null_path:
-        mnull = kv == 2                                      # [S,L]
-        mi = mnull.astype(jnp.int32)
-        for v, s in enumerate(specs):
-            vlo, vhi, vv = vals[v]
-
-            def _s64(j, ps):
-                old = null_ref[v, j]
-                new = old + ps
-                carry = new.astype(jnp.uint32) < ps.astype(jnp.uint32)
-                null_ref[v, j] = new
-                null_ref[v, j + 1] = null_ref[v, j + 1] + \
-                    carry.astype(jnp.int32)
-
-            cp = _scalar_sum(mi)
-            _s64(0, cp)
-            if vv is not None:
-                mv = mnull & vv
-                _s64(2, _scalar_sum(mv.astype(jnp.int32)))
-            else:
-                mv = mnull
-                _s64(2, cp)
-            if s.want_sum:
-                for k, limb in enumerate(_limbs16(vlo, vhi)):
-                    _s64(4 + 2 * k,
-                         _scalar_sum(jnp.where(mv, limb, jnp.int32(0))))
-            if s.want_minmax:
-                vlo_b = vlo ^ I32MIN
-                bh = _scalar_min(jnp.where(mv, vhi, I32MAX))
-                bl = _scalar_min(jnp.where(mv & (vhi == bh), vlo_b, I32MAX))
-                ch, cl = null_ref[v, 12], null_ref[v, 13]
-                better = (bh < ch) | ((bh == ch) & (bl < cl))
-                null_ref[v, 12] = jnp.where(better, bh, ch)
-                null_ref[v, 13] = jnp.where(better, bl, cl)
-                xh = _scalar_max(jnp.where(mv, vhi, I32MIN))
-                xl = _scalar_max(jnp.where(mv & (vhi == xh), vlo_b, I32MIN))
-                ch, cl = null_ref[v, 14], null_ref[v, 15]
-                better = (xh > ch) | ((xh == ch) & (xl > cl))
-                null_ref[v, 14] = jnp.where(better, xh, ch)
-                null_ref[v, 15] = jnp.where(better, xl, cl)
-
-        @pl.when(pl.program_id(0) == jnp.int32(nb - 1))
-        def _merge_null():
-            for v in range(nv):
-                acc = acc_refs[v]
-                cur = acc[...]
-                for j in range(_NLANES):
-                    cur = jnp.where((gi2 == jnp.int32(Gcap))
-                                    & (lane2 == j), null_ref[v, j], cur)
-                acc[...] = cur
+        mnull3 = (kv == 2).reshape(S, 1, LANE)
+        _accumulate3(mnull3, Gcap, 1)
 
 
 def aggregate_pallas(kv, klo, khi, value_limbs, specs: Sequence[ValueSpec],
@@ -368,7 +364,8 @@ def aggregate_pallas(kv, klo, khi, value_limbs, specs: Sequence[ValueSpec],
 
     Returns (tbl[2, Gcap] i32, cnt, overflow, per-value acc[Gcap+8, 16]) --
     use the decode helpers below. Group slots are in discovery order
-    (per-block smallest-key-first); the null-key group occupies acc row Gcap.
+    (per-block smallest-ENCODED-key-first); the null-key group occupies acc
+    row Gcap.
     """
     n = kv.shape[0]
     S = _choose_rows(n)
@@ -390,8 +387,7 @@ def aggregate_pallas(kv, klo, khi, value_limbs, specs: Sequence[ValueSpec],
     n_stream = len(ins)
 
     out_shape = [jax.ShapeDtypeStruct((Gcap, LANE), jnp.int32),  # tbl
-                 jax.ShapeDtypeStruct((8,), jnp.int32),          # meta
-                 jax.ShapeDtypeStruct((nv, _NLANES), jnp.int32)]  # null acc
+                 jax.ShapeDtypeStruct((8,), jnp.int32)]          # meta
     for _ in range(nv):
         out_shape.append(jax.ShapeDtypeStruct((GN, LANE), jnp.int32))
 
@@ -403,8 +399,7 @@ def aggregate_pallas(kv, klo, khi, value_limbs, specs: Sequence[ValueSpec],
                             memory_space=space)
 
     out_specs = [const_spec((Gcap, LANE), pltpu.VMEM),
-                 const_spec((8,), pltpu.SMEM),
-                 const_spec((nv, _NLANES), pltpu.SMEM)]
+                 const_spec((8,), pltpu.SMEM)]
     out_specs += [const_spec((GN, LANE), pltpu.VMEM)] * nv
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -432,7 +427,7 @@ def aggregate_pallas(kv, klo, khi, value_limbs, specs: Sequence[ValueSpec],
     )(*ins)
     tblv, meta = outs[0], outs[1]
     tbl = jnp.stack([tblv[:, 0], tblv[:, 1]])               # [2, Gcap]
-    per_value = [outs[3 + v][:, :_NLANES] for v in range(nv)]
+    per_value = [outs[2 + v][:, :_NLANES] for v in range(nv)]
     return tbl, meta[0], meta[1], per_value
 
 
@@ -466,6 +461,14 @@ def sum_from(acc):
     return total
 
 
+def sum_from_float(acc):
+    """acc[GN, 16] float lanes -> float64[GN]: (hi sum + hi comp) +
+    (lo sum + lo comp), each an f32 bit pattern."""
+    def f(lane):
+        return acc[:, lane].view(jnp.float32).astype(jnp.float64)
+    return (f(4) + f(5)) + (f(6) + f(7))
+
+
 def minmax_from(acc):
     """acc[GN, 16] -> (min int64[GN], max int64[GN]); empty slots decode
     to int64::max / int64::min (the segment_reduce identities)."""
@@ -473,3 +476,10 @@ def minmax_from(acc):
         lo = (lo_b ^ I32MIN).astype(jnp.uint32).astype(jnp.int64)
         return (hi.astype(jnp.int64) << 32) | lo
     return comb(acc[:, 12], acc[:, 13]), comb(acc[:, 14], acc[:, 15])
+
+
+def minmax_bits_from(acc):
+    """acc[GN, 16] -> min/max ENCODED (hi i32, lo i32 unbiased) limb pairs
+    for float decode (caller denormalizes)."""
+    return ((acc[:, 12], acc[:, 13] ^ I32MIN),
+            (acc[:, 14], acc[:, 15] ^ I32MIN))

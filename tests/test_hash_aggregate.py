@@ -226,3 +226,91 @@ def test_group_ids_multi_with_nulls():
         else:
             m[t] = gid[i]
     assert int(gcount) == len(m)
+
+
+# ---------------------------------------------------------------------------
+# r4 tiers: float values + >128 groups in the Pallas kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_pallas_float_values_vs_acero(dtype):
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = rng.integers(0, 48, n)
+    vals = (rng.random(n) * 1000 - 200).astype(dtype)
+    res = hash_aggregate(
+        jnp.asarray(keys), [("v", "sum"), ("v", "count"), ("v", "min"),
+                            ("v", "max"), ("v", "mean")],
+        {"v": (jnp.asarray(vals), None)},
+        max_groups=64, backend="pallas_interpret")
+    assert not bool(res["overflow"])
+    cnt = int(res["group_count"])
+    got_keys = np.asarray(res["keys"])[:cnt]
+    oracle = _oracle_agg(keys, vals)
+    assert set(got_keys.tolist()) == set(oracle)
+    for i, k in enumerate(got_keys.tolist()):
+        s, c, mn, mx = oracle[k]
+        # float sums are order-dependent everywhere (Arrow included);
+        # the kernel's compensated plane sums are f64-class across blocks
+        np.testing.assert_allclose(float(np.asarray(res["agg:v:sum"])[i]),
+                                   s, rtol=2e-5)
+        assert int(np.asarray(res["agg:v:count"])[i]) == c
+        # f64 rides the TPU's native double-float (hi,lo f32) planes:
+        # ~49-bit mantissa, so the 53-bit CPU oracle differs in the last
+        # ulps; f32 planes are lossless
+        mmtol = 0 if dtype == np.float32 else 1e-13
+        np.testing.assert_allclose(float(np.asarray(res["agg:v:min"])[i]),
+                                   mn, rtol=mmtol)
+        np.testing.assert_allclose(float(np.asarray(res["agg:v:max"])[i]),
+                                   mx, rtol=mmtol)
+        np.testing.assert_allclose(float(np.asarray(res["agg:v:mean"])[i]),
+                                   s / c, rtol=2e-5)
+
+
+def test_pallas_float_nulls_and_null_keys():
+    rng = np.random.default_rng(12)
+    n = 8_000
+    keys = rng.integers(0, 10, n)
+    key_null = rng.random(n) < 0.1
+    vals = (rng.random(n) * 100).astype(np.float64)
+    val_null = rng.random(n) < 0.2
+    res = hash_aggregate(
+        jnp.asarray(keys), [("v", "sum"), ("v", "count"), ("v", "min")],
+        {"v": (jnp.asarray(vals), jnp.asarray(~val_null))},
+        key_valid=jnp.asarray(~key_null),
+        max_groups=16, backend="pallas_interpret")
+    cnt = int(res["group_count"])
+    oracle = _oracle_agg(keys, vals, key_null=key_null, val_null=val_null)
+    got_keys = np.asarray(res["keys"])[:cnt]
+    nullmask = np.asarray(res["key_is_null"])[:cnt]
+    for i in range(cnt):
+        k = None if nullmask[i] else int(got_keys[i])
+        s, c, mn, mx = oracle[k]
+        assert int(np.asarray(res["agg:v:count"])[i]) == c
+        if c:
+            np.testing.assert_allclose(
+                float(np.asarray(res["agg:v:sum"])[i]), s, rtol=1e-6)
+            np.testing.assert_allclose(
+                float(np.asarray(res["agg:v:min"])[i]), mn, rtol=1e-13)
+
+
+def test_pallas_512_groups_vs_acero():
+    rng = np.random.default_rng(13)
+    n = 60_000
+    keys = rng.integers(0, 500, n)
+    vals = rng.integers(-10**9, 10**9, n)
+    res = hash_aggregate(
+        jnp.asarray(keys), [("v", "sum"), ("v", "count"), ("v", "max")],
+        {"v": (jnp.asarray(vals), None)},
+        max_groups=512, backend="pallas_interpret")
+    assert not bool(res["overflow"])
+    cnt = int(res["group_count"])
+    assert cnt == len(set(keys.tolist()))
+    oracle = _oracle_agg(keys, vals)
+    got_keys = np.asarray(res["keys"])[:cnt]
+    sums = np.asarray(res["agg:v:sum"])[:cnt]
+    maxs = np.asarray(res["agg:v:max"])[:cnt]
+    for i, k in enumerate(got_keys.tolist()):
+        s, c, mn, mx = oracle[k]
+        assert int(sums[i]) == s
+        assert int(maxs[i]) == mx
