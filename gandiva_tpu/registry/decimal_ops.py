@@ -384,6 +384,18 @@ def register_decimal_unary(t: dt.DataType):
         if reg.lookup(name, [t]) is None:
             reg.register(name, [t], dt.bool_, f,
                          nullability=Nullability.NULL_NEVER)
+    # castVARCHAR(decimal) routes through the string prepass in the
+    # decomposer; this registration makes the signature visible to the
+    # validator and get_registered_function_signatures (VERDICT r3 #7)
+    def _cast_varchar_decimal(ctx, args):
+        from .string_ops import _cast_varchar_numeric
+        return _cast_varchar_numeric(ctx, args)
+
+    if reg.lookup("castVARCHAR", [t]) is None:
+        reg.register("castVARCHAR", [t], dt.string, _cast_varchar_decimal)
+    if reg.lookup("castVARCHAR", [t, dt.int64]) is None:
+        reg.register("castVARCHAR", [t, dt.int64], dt.string,
+                     _cast_varchar_decimal)
     specs = [
         ("abs", _abs_impl, t),
         ("negative", _negative, t),

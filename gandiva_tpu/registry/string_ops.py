@@ -94,7 +94,10 @@ def _transform_dict(val: Val, transform: Callable[[List], List],
                         type=pa.string() if out_dtype.kind is dt.TypeKind.STRING
                         else pa.binary())
 
-    return Val(val.value, val.validity, out_dtype, dict_thunk=new_thunk)
+    # codes pass through unchanged, so the result still traces to the same
+    # source column (enables the per-row concat fallback downstream)
+    return Val(val.value, val.validity, out_dtype, dict_thunk=new_thunk,
+               source_field=val.source_field)
 
 
 def _str_or(v, default=""):
@@ -229,8 +232,28 @@ _reg_transform("unbase64", lambda v: _b64.b64decode(v).decode("utf-8",
                                                               "replace"))
 
 
+def _row_values(batch, field_name: str, dict_thunk):
+    """Per-row host strings of a dictionary-backed column: the device code
+    array pulled back (device_get is legal in thunks — they run at
+    evaluate time on host) indexed into the composed dictionary."""
+    import jax
+
+    d = [_str_or(v) for v in _dict_list(dict_thunk(batch))]
+    codes = np.asarray(jax.device_get(batch.column(field_name).data))
+    codes = np.clip(codes[:batch.length], 0, max(0, len(d) - 1))
+    return [d[c] for c in codes]
+
+
 def _concat(ctx, args):
-    """concat(s1, s2): product dictionary; codes combine on device."""
+    """concat(s1, s2): product dictionary; codes combine on device.
+
+    High-cardinality fallback (VERDICT r3 #5): when the product dictionary
+    would exceed MAX_PRODUCT_DICT and both inputs trace back to direct
+    columns (source_field — preserved through dictionary transforms), the
+    batch's thunks switch to a per-ROW host concat + re-dictionarization:
+    the result dictionary is bounded by the row count instead of the
+    distinct-value cross product. The device graph carries both code
+    formulas and selects by a per-batch flag table."""
     a, b = args[0], args[1]
     # literal operands become single-entry dictionaries
     if a.is_literal and b.is_literal:
@@ -246,17 +269,31 @@ def _concat(ctx, args):
     _require_dict(a, "concat")
     _require_dict(b, "concat")
     ta, tb = a.dict_thunk, b.dict_thunk
+    can_row = a.source_field is not None and b.source_field is not None
+    fa, fb = a.source_field, b.source_field
 
-    size_holder = {}
+    def _use_row(batch, _ta=ta, _tb=tb):
+        da = _dict_list(_ta(batch))
+        db = _dict_list(_tb(batch))
+        return can_row and len(da) * len(db) > MAX_PRODUCT_DICT
+
+    def _rows(batch, _ta=ta, _tb=tb, _fa=fa, _fb=fb):
+        sa = _row_values(batch, _fa, _ta)
+        sb = _row_values(batch, _fb, _tb)
+        return np.asarray([x + y for x, y in zip(sa, sb)], dtype=object)
 
     def new_thunk(batch, _ta=ta, _tb=tb):
         import pyarrow as pa
+        if _use_row(batch):
+            uniq = np.unique(_rows(batch))
+            return pa.array(uniq.tolist(), type=pa.string())
         da = [_str_or(v) for v in _dict_list(_ta(batch))]
         db = [_str_or(v) for v in _dict_list(_tb(batch))]
         if len(da) * len(db) > MAX_PRODUCT_DICT:
             raise ExpressionValidationError(
                 f"concat: product dictionary too large "
-                f"({len(da)}×{len(db)})")
+                f"({len(da)}×{len(db)}) and inputs are not direct column "
+                "references (row-level fallback unavailable)")
         return pa.array([x + y for x in da for y in db], type=pa.string())
 
     def nb_thunk(batch, _tb=tb):
@@ -265,6 +302,25 @@ def _concat(ctx, args):
 
     nb = ctx.add_table(nb_thunk)[0]
     codes = a.value * nb + b.value
+    if can_row:
+        def flag_thunk(batch):
+            return _pad_pow2(
+                np.array([1 if _use_row(batch) else 0], dtype=np.int32), 0)
+
+        def row_codes_thunk(batch):
+            if not _use_row(batch):
+                return _pad_pow2(np.zeros(1, dtype=np.int32), 0)
+            rows = _rows(batch)
+            uniq, inv = np.unique(rows, return_inverse=True)
+            out = np.zeros(batch.capacity, dtype=np.int32)
+            out[:len(inv)] = inv.astype(np.int32)
+            return _pad_pow2(out, 0)
+
+        use_row = ctx.add_table(flag_thunk)[0]
+        rows_t = ctx.add_table(row_codes_thunk)
+        iota = jnp.arange(ctx.capacity)
+        row_codes = rows_t[jnp.minimum(iota, rows_t.shape[0] - 1)]
+        codes = jnp.where(use_row > 0, row_codes, codes)
     if a.validity is None and b.validity is None:
         validity = None
     elif a.validity is None:
@@ -590,6 +646,91 @@ def _fmt_numeric(v, src_t):
     return repr(float(v))
 
 
+def _fmt_decimal(unscaled: int, scale: int) -> str:
+    """Format a decimal128 unscaled int at the given scale (pure integer
+    string math — no float, no context rounding)."""
+    neg = unscaled < 0
+    digits = str(abs(int(unscaled)))
+    if scale <= 0:
+        body = digits + "0" * (-scale)
+    else:
+        digits = digits.rjust(scale + 1, "0")
+        body = digits[:-scale] + "." + digits[-scale:]
+    return ("-" if neg else "") + body
+
+
+def cast_varchar_numeric_prepass(ctx, node, args):
+    """castVARCHAR over a COMPUTED numeric/decimal subtree (no direct
+    column reference): evaluate the subtree with its own compiled
+    projector at evaluate time (thunks run on host), format per row, and
+    re-dictionarize. Reference behavior: gdv_fn_castVARCHAR_* formats per
+    row in the JIT loop with no cardinality cliff (SURVEY.md §2a#6).
+    Perf note: costs one extra device pass over the subtree plus O(rows)
+    host formatting per batch — the price of leaving the dictionary world.
+    """
+    a = args[0]
+    maxlen = None
+    if len(args) == 2:
+        maxlen = int(_require_literal(args[1], "castVARCHAR", "#2"))
+    src_t = a.dtype
+    schema = ctx.schema
+
+    from ..compiler.projector import make_projector
+    from ..expr.builder import TreeExprBuilder as B
+
+    pre = make_projector(
+        schema, [B.make_expression(node.args[0],
+                                   dt.Field("__pre__", src_t))])
+
+    def _fmt_rows(batch):
+        import jax
+        from jax._src.core import trace_state_clean as _tsc
+
+        if not _tsc():
+            # discovery probe runs inside an abstract trace where the
+            # prepass jit would return tracers; shapes are all discovery
+            # needs, values come from the real evaluate-time call
+            return np.asarray([""] * batch.length, dtype=object)
+        out = pre.evaluate_device(batch)
+        col = out.column("__pre__")
+        valid = np.asarray(jax.device_get(col.validity))[:batch.length]
+        if src_t.is_decimal:
+            lo = np.asarray(jax.device_get(col.data)).astype(np.int64)
+            hi = np.asarray(jax.device_get(col.extra)).astype(np.int64)
+            strs = []
+            for i in range(batch.length):
+                if not valid[i]:
+                    strs.append("")
+                    continue
+                u = (int(hi[i]) << 64) | (int(lo[i]) & ((1 << 64) - 1))
+                strs.append(_fmt_decimal(u, src_t.scale))
+        else:
+            vals = np.asarray(jax.device_get(col.data))[:batch.length]
+            strs = [_fmt_numeric(v, src_t) if ok else ""
+                    for v, ok in zip(vals, valid)]
+        if maxlen is not None:
+            strs = [s[:maxlen] for s in strs]
+        return np.asarray(strs, dtype=object)
+
+    def codes_thunk(batch):
+        rows = _fmt_rows(batch)
+        _, inv = np.unique(rows, return_inverse=True)
+        out = np.zeros(batch.capacity, dtype=np.int32)
+        out[:len(inv)] = inv.astype(np.int32)
+        return _pad_pow2(out, 0)
+
+    codes_t = ctx.add_table(codes_thunk)
+    iota = jnp.arange(ctx.capacity)
+    codes = codes_t[jnp.minimum(iota, codes_t.shape[0] - 1)]
+
+    def dict_thunk(batch):
+        import pyarrow as pa
+        uniq = np.unique(_fmt_rows(batch))
+        return pa.array(uniq.tolist(), type=pa.string())
+
+    return Val(codes, a.validity, dt.string, dict_thunk=dict_thunk)
+
+
 def _cast_varchar_numeric(ctx, args):
     a = args[0]
     maxlen = None
@@ -598,10 +739,9 @@ def _cast_varchar_numeric(ctx, args):
     name = a.source_field
     if name is None:
         raise ExpressionValidationError(
-            "castVARCHAR over a computed numeric value is unsupported: the "
-            "host-formatted dictionary route needs a direct column "
-            "reference (format on host via the Batch conversion API "
-            "instead)")
+            "castVARCHAR over a computed numeric value requires the plan "
+            "schema for the prepass fallback (compile through "
+            "Projector/Filter — direct registry calls lack it)")
     src_t = a.dtype
 
     def codes_thunk(batch, _n=name):

@@ -256,16 +256,15 @@ def test_cast_varchar_numeric():
     si, si2, sf = proj.evaluate(batch2)
     assert si.to_pylist() == ["7", "7", "8"]
     assert sf.to_pylist() == ["0.5", "2.0", "-1.0"]
-    # computed numerics have no host column to format → validation error
-    # (kernel-level constraints surface at the discovery pass, first eval)
-    bad = B_.make_expression(B_.make_function(
+    # computed numerics format through the prepass fallback (r4)
+    comp = B_.make_expression(B_.make_function(
         "castVARCHAR", [B_.make_function(
             "add", [B_.make_field(schema.field("i")),
                     B_.make_int64_literal(1)], dt.int64)], dt.string),
         dt.Field("s", dt.string))
-    badp = g.make_projector(schema, [bad], use_cache=False)
-    with pytest.raises(g.ExpressionValidationError, match="direct column"):
-        badp.evaluate(batch2)
+    compp = g.make_projector(schema, [comp], use_cache=False)
+    (sc,) = compp.evaluate(batch2)
+    assert sc.to_pylist() == ["8", "8", "9"]
 
 
 def test_cast_varchar_float32():
@@ -303,3 +302,95 @@ def test_convert_utf8_round_trip():
     # invalid UTF-8 → NULL (documented divergence: gandiva raises)
     assert fs.to_pylist() == ["hi", "café", None, None]
     assert tb.to_pylist() == [b"x", "café".encode(), None, b""]
+
+
+# ---------------------------------------------------------------------------
+# r4: high-cardinality raw-string fallbacks (VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+
+def test_concat_row_fallback_high_cardinality(monkeypatch):
+    """concat of two columns whose product dictionary exceeds the cap
+    switches to per-row host evaluation + re-dictionarization."""
+    from gandiva_tpu.registry import string_ops as so
+
+    monkeypatch.setattr(so, "MAX_PRODUCT_DICT", 64)
+    rng = np.random.default_rng(5)
+    n = 300
+    a = [f"u{rng.integers(0, 10**9)}" for _ in range(n)]   # ~300 distinct
+    b = [f"v{rng.integers(0, 10**9)}" for _ in range(n)]
+    schema = dt.Schema([dt.Field("a", dt.string), dt.Field("b", dt.string)])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(a, type=pa.string()), pa.array(b, type=pa.string())],
+        names=["a", "b"])
+    expr = B.make_expression(B.make_function(
+        "concat", [B.make_field(schema.field("a")),
+                   B.make_field(schema.field("b"))], dt.string),
+        dt.Field("r", dt.string))
+    (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == [x + y for x, y in zip(a, b)]
+
+
+def test_concat_row_fallback_through_transform(monkeypatch):
+    """source_field survives dictionary transforms, so upper(a) || b still
+    has the row-level fallback."""
+    from gandiva_tpu.registry import string_ops as so
+
+    monkeypatch.setattr(so, "MAX_PRODUCT_DICT", 16)
+    a = [f"ab{i}" for i in range(40)]
+    b = [f"cd{i}" for i in range(40)]
+    schema = dt.Schema([dt.Field("a", dt.string), dt.Field("b", dt.string)])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(a), pa.array(b)], names=["a", "b"])
+    expr = B.make_expression(B.make_function(
+        "concat", [B.make_function("upper", [B.make_field(schema.field("a"))],
+                                   dt.string),
+                   B.make_field(schema.field("b"))], dt.string),
+        dt.Field("r", dt.string))
+    (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == [x.upper() + y for x, y in zip(a, b)]
+
+
+def test_cast_varchar_computed_numeric():
+    """castVARCHAR over a computed int64 (prepass fallback)."""
+    schema = dt.Schema([dt.Field("x", dt.int64)])
+    vals = np.array([0, -7, 123456, 99], dtype=np.int64)
+    batch = pa.RecordBatch.from_arrays([pa.array(vals)], names=["x"])
+    computed = B.make_function(
+        "add", [B.make_function("multiply", [B.make_field(schema.field("x")),
+                                             B.make_int64_literal(2)],
+                                dt.int64),
+                B.make_int64_literal(1)], dt.int64)
+    expr = B.make_expression(B.make_function("castVARCHAR", [computed],
+                                             dt.string),
+                             dt.Field("r", dt.string))
+    (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == [str(v * 2 + 1) for v in vals.tolist()]
+
+
+def test_cast_varchar_computed_float_with_nulls():
+    schema = dt.Schema([dt.Field("x", dt.float64)])
+    vals = pa.array([1.5, None, -2.25, 100.0], type=pa.float64())
+    batch = pa.RecordBatch.from_arrays([vals], names=["x"])
+    computed = B.make_function("multiply",
+                               [B.make_field(schema.field("x")),
+                                B.make_double_literal(2.0)], dt.float64)
+    expr = B.make_expression(B.make_function("castVARCHAR", [computed],
+                                             dt.string),
+                             dt.Field("r", dt.string))
+    (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == ["3.0", None, "-4.5", "200.0"]
+
+
+def test_cast_varchar_decimal():
+    t = dt.decimal128(10, 2)
+    schema = dt.Schema([dt.Field("d", t)])
+    import decimal
+    vals = pa.array([decimal.Decimal("12.34"), decimal.Decimal("-0.05"),
+                     None, decimal.Decimal("7.00")],
+                    type=pa.decimal128(10, 2))
+    batch = pa.RecordBatch.from_arrays([vals], names=["d"])
+    expr = B.make_expression(B.make_function(
+        "castVARCHAR", [B.make_field(schema.field("d"))], dt.string),
+        dt.Field("r", dt.string))
+    (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
+    assert r.to_pylist() == ["12.34", "-0.05", None, "7.00"]
