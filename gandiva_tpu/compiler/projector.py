@@ -59,6 +59,7 @@ class _CompiledPlan:
         self.config = config
         self._roots = tuple(roots)
         self._thunks: Optional[List[Callable]] = None
+        self._table_memo: Dict[str, Any] = {}
         self._out_dict_thunks: Optional[List[Optional[Callable]]] = None
         self._hlo_text: Optional[str] = None
         # Configuration.optimize — reference semantics (gandiva.pyx:591-608):
@@ -185,7 +186,61 @@ class _CompiledPlan:
                 # reference behavior: Configuration(dump_ir=True) retains the
                 # compiled IR automatically (gandiva.pyx:595-608)
                 self.dump_hlo(batch)
-        return tuple(jnp.asarray(t(batch)) for t in self._thunks)
+        # dictionary-identity memo (VERDICT r3 #9): thunks declared pure
+        # functions of the batch's dictionaries skip the per-batch rebuild
+        # while every dictionary OBJECT is unchanged. Holding the key
+        # objects in the memo pins them, so id-reuse cannot alias.
+        dict_objs = tuple(c.dictionary for c in batch.columns.values()
+                          if c.dictionary is not None)
+        key_ok = (self._table_memo.get("key") is not None
+                  and len(self._table_memo["key"]) == len(dict_objs)
+                  and all(a is b for a, b in
+                          zip(self._table_memo["key"], dict_objs))
+                  and self._table_memo.get("capacity") == batch.capacity)
+        if not key_ok:
+            self._table_memo = {"key": dict_objs,
+                                "capacity": batch.capacity, "vals": {}}
+        vals = self._table_memo["vals"]
+        out = []
+        for i, t in enumerate(self._thunks):
+            if getattr(t, "_cache_on_dicts", False) and i in vals:
+                out.append(vals[i])
+                continue
+            arr = jnp.asarray(t(batch))
+            self.stats["table_builds"] = \
+                self.stats.get("table_builds", 0) + 1
+            if getattr(t, "_cache_on_dicts", False):
+                vals[i] = arr
+            out.append(arr)
+        return tuple(out)
+
+    def profile(self, batch: "Batch", trace_dir: Optional[str] = None):
+        """Capture a ``jax.profiler`` trace of one compiled evaluation over
+        ``batch`` (SURVEY.md §5.1 — the runtime-side sibling of
+        ``dump_hlo``). Returns the trace directory, viewable with
+        TensorBoard/XProf. VERDICT r3 #10."""
+        import tempfile
+
+        import jax.profiler
+
+        if trace_dir is None:
+            trace_dir = tempfile.mkdtemp(prefix="gandiva_tpu_trace_")
+        tables = self._tables_for(batch)
+        cols = self._cols_of(batch)
+        with jax.profiler.trace(trace_dir):
+            out = self._jit(cols, jnp.int32(batch.length), tables,
+                            self._next_key())
+            jax.block_until_ready(out)
+        return trace_dir
+
+    def cost_analysis(self, batch: "Batch"):
+        """XLA's compiled-cost estimate (flops, bytes accessed, …) for this
+        plan at the batch's shapes — the quantitative side of dump_hlo."""
+        tables = self._tables_for(batch)
+        cols = self._cols_of(batch)
+        lowered = self._jit_lower.lower(cols, jnp.int32(batch.length),
+                                        tables, self._next_key())
+        return lowered.compile().cost_analysis()
 
     def _next_key(self):
         self._seed += 1

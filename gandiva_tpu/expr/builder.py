@@ -135,6 +135,26 @@ class TreeExprBuilder:
         return LiteralNode(unscaled, dt.decimal128(precision, scale))
 
     @staticmethod
+    def make_interval_day_literal(days: int, millis: int = 0) -> LiteralNode:
+        """Interval-day literal (gandiva IntervalDayScalar: days + millis,
+        packed (days << 32) | millis in the int64 lane — dtypes.py)."""
+        import numbers
+        _require(isinstance(days, numbers.Integral)
+                 and isinstance(millis, numbers.Integral),
+                 "interval_day literal requires ints (days, millis)")
+        _require(0 <= millis < 86_400_000,
+                 "interval_day millis must be in [0, 86400000)")
+        return LiteralNode((int(days) << 32) | int(millis), dt.interval_day)
+
+    @staticmethod
+    def make_interval_year_literal(months: int) -> LiteralNode:
+        """Interval-year literal (months, int32 lane)."""
+        import numbers
+        _require(isinstance(months, numbers.Integral),
+                 "interval_year literal requires an int month count")
+        return LiteralNode(int(months), dt.interval_year)
+
+    @staticmethod
     def make_null(dtype: dt.DataType) -> LiteralNode:
         _require(isinstance(dtype, dt.DataType), "expected DataType")
         return LiteralNode(None, dtype)

@@ -536,8 +536,8 @@ def _parse_table(ctx, sval, fmt: str, unit_ms: bool):
                 pass
         return _pad_pow2(out, False)
 
-    tv = ctx.add_table(values_thunk)
-    tok = ctx.add_table(ok_thunk)
+    tv = ctx.add_table(values_thunk, cache_on_dicts=True)
+    tok = ctx.add_table(ok_thunk, cache_on_dicts=True)
     codes = jnp.clip(sval.value, 0, tv.shape[0] - 1)
     return tv[codes], tok[codes]
 
@@ -615,3 +615,102 @@ _R.register("is_date", [dt.string], dt.bool_, _is_date_impl,
             nullability=_N.NULL_NEVER)
 _R.register("is_date", [dt.string, dt.string], dt.bool_, _is_date_impl,
             nullability=_N.NULL_NEVER)
+
+
+# ---------------------------------------------------------------------------
+# interval day/year (r4 — VERDICT r3 #7): casts, timestamp/date ± interval
+# (gandiva function_registry_timestamp_arithmetic.cc: timestamp + interval
+# operators; castNULLABLEINTERVALDAY/YEAR in function_registry_datetime.cc)
+#
+# Representation (dtypes.py): interval_day packs (days << 32) | millis in an
+# int64 lane (both components non-negative in the packed form; negative
+# intervals carry sign on the days field via two's complement of the whole
+# int64 when constructed from total millis); interval_year is months int32.
+# ---------------------------------------------------------------------------
+
+_M32 = jnp.int64(0xFFFF_FFFF)
+
+
+def _interval_day_total_ms(v):
+    """Packed interval_day -> total milliseconds (int64)."""
+    days = v >> 32
+    millis = v & _M32
+    return days * MS_PER_DAY + millis
+
+
+def _cast_interval_day(ctx, args):
+    # gandiva castNULLABLEINTERVALDAY(int): the integer is total millis
+    ms = args[0].value.astype(jnp.int64)
+    days = ms // MS_PER_DAY
+    rem = ms - days * MS_PER_DAY
+    return (days << 32) | rem
+
+
+def _cast_interval_year(ctx, args):
+    # months
+    return args[0].value.astype(jnp.int32)
+
+
+for _it in (dt.int32, dt.int64):
+    _R.register("castINTERVALDAY", [_it], dt.interval_day,
+                _cast_interval_day, aliases=["castNULLABLEINTERVALDAY"])
+    _R.register("castINTERVALYEAR", [_it], dt.interval_year,
+                _cast_interval_year, aliases=["castNULLABLEINTERVALYEAR"])
+
+
+def _ts_plus_interval_day(ctx, args):
+    a, b = args
+    if a.dtype.kind is dt.TypeKind.INTERVAL_DAY:
+        b, a = a, b
+    return a.value + _interval_day_total_ms(b.value.astype(jnp.int64))
+
+
+def _ts_minus_interval_day(ctx, args):
+    ts, iv = args
+    return ts.value - _interval_day_total_ms(iv.value.astype(jnp.int64))
+
+
+def _ts_plus_months(ts_ms, months):
+    day_part = ts_ms // MS_PER_DAY
+    time_part = ts_ms - day_part * MS_PER_DAY
+    return _add_months_days(day_part, months) * MS_PER_DAY + time_part
+
+
+def _ts_plus_interval_year(ctx, args):
+    a, b = args
+    if a.dtype.kind is dt.TypeKind.INTERVAL_YEAR:
+        b, a = a, b
+    return _ts_plus_months(a.value.astype(jnp.int64),
+                           b.value.astype(jnp.int64))
+
+
+def _ts_minus_interval_year(ctx, args):
+    ts, iv = args
+    return _ts_plus_months(ts.value.astype(jnp.int64),
+                           -iv.value.astype(jnp.int64))
+
+
+for _tt in (dt.timestamp, dt.date64):
+    _R.register("add", [_tt, dt.interval_day], _tt, _ts_plus_interval_day,
+                aliases=["date_add"])
+    _R.register("add", [dt.interval_day, _tt], _tt, _ts_plus_interval_day)
+    _R.register("subtract", [_tt, dt.interval_day], _tt,
+                _ts_minus_interval_day, aliases=["date_sub"])
+    _R.register("add", [_tt, dt.interval_year], _tt, _ts_plus_interval_year)
+    _R.register("add", [dt.interval_year, _tt], _tt, _ts_plus_interval_year)
+    _R.register("subtract", [_tt, dt.interval_year], _tt,
+                _ts_minus_interval_year)
+
+
+def _date32_plus_interval_day(ctx, args):
+    a, b = args
+    if a.dtype.kind is dt.TypeKind.INTERVAL_DAY:
+        b, a = a, b
+    iv = b.value.astype(jnp.int64)
+    return (a.value.astype(jnp.int64) + (iv >> 32)).astype(jnp.int32)
+
+
+_R.register("add", [dt.date32, dt.interval_day], dt.date32,
+            _date32_plus_interval_day)
+_R.register("add", [dt.interval_day, dt.date32], dt.date32,
+            _date32_plus_interval_day)

@@ -139,8 +139,18 @@ class FunctionRegistry:
 
     def all_signatures(self) -> List[FunctionSignature]:
         """The introspection surface — mirrors Gandiva's
-        GetRegisteredFunctionSignatures() (libgandiva.pxd:274-277)."""
-        return [f.signature for f in self._table.values()]
+        GetRegisteredFunctionSignatures() (libgandiva.pxd:274-277).
+        Alias names are enumerated as their own signatures, as the
+        reference registry does (e.g. the plain ``hash`` base name)."""
+        sigs = [f.signature for f in self._table.values()]
+        by_name = {}
+        for f in self._table.values():
+            by_name.setdefault(f.signature.name, []).append(f.signature)
+        for alias, base in self._aliases.items():
+            for sig in by_name.get(base, ()):
+                sigs.append(FunctionSignature(alias, sig.param_types,
+                                              sig.return_type))
+        return sigs
 
     def __len__(self):
         return len(self._table)

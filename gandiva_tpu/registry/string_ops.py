@@ -76,7 +76,7 @@ def _gather_table(ctx, val: Val, per_value: Callable[[List], np.ndarray],
         d = _dict_list(_dt(batch))
         return _pad_pow2(np.asarray(_f(d)), fill)
 
-    table = ctx.add_table(thunk)
+    table = ctx.add_table(thunk, cache_on_dicts=True)
     codes = jnp.clip(val.value, 0, table.shape[0] - 1)
     return table[codes]
 
@@ -300,7 +300,7 @@ def _concat(ctx, args):
         return _pad_pow2(
             np.array([len(_dict_list(_tb(batch)))], dtype=np.int32), 1)
 
-    nb = ctx.add_table(nb_thunk)[0]
+    nb = ctx.add_table(nb_thunk, cache_on_dicts=True)[0]
     codes = a.value * nb + b.value
     if can_row:
         def flag_thunk(batch):
@@ -316,7 +316,7 @@ def _concat(ctx, args):
             out[:len(inv)] = inv.astype(np.int32)
             return _pad_pow2(out, 0)
 
-        use_row = ctx.add_table(flag_thunk)[0]
+        use_row = ctx.add_table(flag_thunk, cache_on_dicts=True)[0]
         rows_t = ctx.add_table(row_codes_thunk)
         iota = jnp.arange(ctx.capacity)
         row_codes = rows_t[jnp.minimum(iota, rows_t.shape[0] - 1)]
@@ -502,7 +502,7 @@ def _reg_like(name, ignore_case, with_escape=False):
                               for v in _dict_list(d)], dtype=bool)
             return _pad_pow2(np.asarray(m, dtype=bool), False)
 
-        table = ctx.add_table(thunk)
+        table = ctx.add_table(thunk, cache_on_dicts=True)
         codes = jnp.clip(s.value, 0, table.shape[0] - 1)
         return table[codes]
 
@@ -555,8 +555,8 @@ def _rank_pair(ctx, a: Val, b: Val):
                 np.array([merged[v] for v in src], dtype=np.int32), 0)
         return thunk
 
-    t_a = ctx.add_table(rank_thunk(0))
-    t_b = ctx.add_table(rank_thunk(1))
+    t_a = ctx.add_table(rank_thunk(0), cache_on_dicts=True)
+    t_b = ctx.add_table(rank_thunk(1), cache_on_dicts=True)
     ra = t_a[jnp.clip(a.value, 0, t_a.shape[0] - 1)]
     rb = t_b[jnp.clip(b.value, 0, t_b.shape[0] - 1)]
     return ra, rb

@@ -357,3 +357,25 @@ def test_selection_mode_enforced():
     p16 = g.make_projector(schema, [expr], g.SelectionMode.UINT16)
     (r,) = p16.evaluate(batch, selection=sel16)
     assert r.equals(pa.array([2, 3], type=pa.int32()))
+
+
+def test_profile_and_cost_analysis(tmp_path):
+    """plan.profile writes a jax.profiler trace dir; cost_analysis returns
+    XLA's compiled cost estimate (VERDICT r3 #10)."""
+    import os
+    schema = dt.Schema([dt.Field("a", dt.int64)])
+    expr = B.make_expression(
+        B.make_function("add", [B.make_field(schema.field("a")),
+                                B.make_int64_literal(1)], dt.int64),
+        dt.Field("out", dt.int64))
+    proj = g.make_projector(schema, [expr], use_cache=False)
+    from gandiva_tpu.batch import from_arrow
+    batch = from_arrow(pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(1000))], names=["a"]))
+    d = proj.profile(batch, trace_dir=str(tmp_path))
+    found = []
+    for root, _, files in os.walk(d):
+        found += files
+    assert found, "profiler trace directory must not be empty"
+    ca = proj.cost_analysis(batch)
+    assert ca is not None and len(ca) > 0

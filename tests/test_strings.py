@@ -394,3 +394,29 @@ def test_cast_varchar_decimal():
         dt.Field("r", dt.string))
     (r,) = g.make_projector(schema, [expr], use_cache=False).evaluate(batch)
     assert r.to_pylist() == ["12.34", "-0.05", None, "7.00"]
+
+
+def test_like_table_memoized_on_dictionary_identity():
+    """VERDICT r3 #9: 100 identical-dictionary batches build the LIKE
+    table once (stats['table_builds'])."""
+    from gandiva_tpu.batch import from_arrow
+
+    data = ["apache arrow", "sparkles", "spark", "pyspark"]
+    cond = B.make_condition(B.make_function(
+        "like", [B.make_field(SCHEMA.field("s")),
+                 B.make_string_literal("%spark%")], dt.bool_))
+    filt = g.make_filter(SCHEMA, cond, use_cache=False)
+    b0 = from_arrow(_sbatch(data))
+    shared_dict = b0.column("s").dictionary
+    first = filt.evaluate(b0)
+    builds_after_first = filt.stats.get("table_builds", 0)
+    assert builds_after_first >= 1
+    # new Batch objects per step, same dictionary object, varied codes
+    import jax.numpy as jnp
+    from gandiva_tpu.batch import Batch as DBatch, Column
+    for i in range(100):
+        codes = jnp.asarray(np.roll(np.asarray(b0.column("s").data), i))
+        col = Column(codes, b0.column("s").validity, dt.string,
+                     dictionary=shared_dict)
+        filt.evaluate(DBatch({"s": col}, b0.length))
+    assert filt.stats["table_builds"] == builds_after_first
