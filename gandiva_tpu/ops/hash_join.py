@@ -74,30 +74,13 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
     build_kv = build_exists if build_valid is None \
         else (build_valid & build_exists)
 
-    if build_unique and how in ("inner", "left", "semi", "anti"):
-        # hash-probe fast path (PK-FK joins): ~2 gather rounds per probe
-        # instead of log2(B) dependent searchsorted gathers
-        matched, bidx, dup = _hash_probe_unique(probe_keys, build_keys,
-                                                probe_kv, build_kv)
-        from .compaction import compact_best
-
-        if how == "inner":
-            sel = matched
-            idx, count, packed = compact_best(sel, [bidx])
-            return JoinResult(idx.astype(jnp.int32), packed[0], count, dup)
-        if how == "left":
-            sel = probe_exists
-            out_b = jnp.where(matched, bidx, -1)
-            idx, count, packed = compact_best(sel, [out_b])
-            return JoinResult(idx.astype(jnp.int32), packed[0], count, dup)
-        if how == "semi":
-            sel = matched & probe_exists
-        else:  # anti
-            sel = (~matched) & probe_exists
-        idx, count, _ = compact_best(sel)
-        return JoinResult(idx.astype(jnp.int32),
-                          jnp.full((idx.shape[0],), -1, jnp.int32),
-                          count, dup)
+    # build_unique (PK-FK declaration): since r4 the GENERAL path detects
+    # unique builds at runtime and takes the identity fast-expansion, so
+    # the declaration only adds the contract check — duplicate build keys
+    # surface through the overflow flag (r4: the old dedicated
+    # _hash_probe_unique while-loop probe ran longest-chain full-width
+    # gather rounds and measured ~3x SLOWER than the general path at
+    # configs[3]; it remains for direct callers only).
 
     # ---- build phase: sort build keys; key-invalid rows sort last --------
     from .sort import _sort_full
@@ -265,6 +248,8 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
         total = total + n_unmatched
 
     overflow = total > C
+    if build_unique and fast_how:
+        overflow = overflow | ~uniq
     count = jnp.minimum(total, C).astype(jnp.int32)
     return JoinResult(probe_out, build_out, count, overflow)
 

@@ -342,6 +342,11 @@ def merge_sort_u32(limbs: Sequence[jnp.ndarray],
     Same comparator contract as bitonic_sort_u32; carries are new.
     """
     n = int(limbs[0].shape[0])
+    # VMEM guard: windows + merged values + partner temps scale with the
+    # limb count; above 5 limbs the 64k tile overflows VMEM (remote
+    # compiler crash at 6 limbs, r4) — drop to 32k tiles
+    if len(limbs) + 1 + len(carry) > 5:
+        w_log2 = min(w_log2, 15)
     W = 1 << w_log2
     nw = ((n + W - 1) // W) * W
     total = nw + 2 * W          # slack for window DMA overrun

@@ -120,19 +120,22 @@ def _build_operands(keys: Sequence[SortKey], length):
     operands = []
     key_opnd = []
     # leading rank: (padding << 1) | null-placement for the FIRST key —
-    # both outrank the first key value in lexicographic priority
+    # both outrank the first key value in lexicographic priority. Skipped
+    # entirely when statically all-zero (no padding, no nulls): a constant
+    # operand costs a full comparator limb through every sort pass (r4)
     first = keys[0]
-    rank = jnp.zeros((n,), dtype=jnp.uint32)
-    if length is not None:
-        rank = rank | (jnp.arange(n) >= length).astype(jnp.uint32) << 1
     norm0 = normalize_key(first.values, first.ascending)
-    if first.validity is not None:
-        # encode so the group that must come first carries the smaller rank
-        rank = rank | jnp.where(first.nulls_first,
-                                first.validity.astype(jnp.uint32),
-                                (~first.validity).astype(jnp.uint32))
-        norm0 = jnp.where(first.validity, norm0, jnp.zeros_like(norm0))
-    operands.append(rank)
+    if length is not None or first.validity is not None:
+        rank = jnp.zeros((n,), dtype=jnp.uint32)
+        if length is not None:
+            rank = rank | (jnp.arange(n) >= length).astype(jnp.uint32) << 1
+        if first.validity is not None:
+            # the group that must come first carries the smaller rank
+            rank = rank | jnp.where(first.nulls_first,
+                                    first.validity.astype(jnp.uint32),
+                                    (~first.validity).astype(jnp.uint32))
+            norm0 = jnp.where(first.validity, norm0, jnp.zeros_like(norm0))
+        operands.append(rank)
     key_opnd.append(len(operands))
     operands.append(norm0)
     for k in keys[1:]:
