@@ -448,9 +448,12 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
 
     nb = sorted_norm.shape[0]
     np_ = pk_norm.shape[0]
-    # widen small tables: factor 32 halves both chain incidence and chain
-    # length (round-1 resolution ~97%), for ≤512 MB of table
-    if nb <= (1 << 22):
+    # widen small tables: higher factors cut both chain incidence and
+    # chain length (round-1 resolution ~97% at 32, ~98.5% at 64), for
+    # ≤512 MB of table
+    if nb <= (1 << 21):
+        table_factor = max(table_factor, 64)
+    elif nb <= (1 << 22):
         table_factor = max(table_factor, 32)
     T = table_size_for(nb, table_factor)
     # slack tail: worst-case first-fit overhang is < nb slots past the
@@ -540,7 +543,10 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
                 [mask, jnp.zeros((npad - n0,), mask.dtype)])
         return compact_best(mask)
 
-    cap = min(np_, max(4096, np_ // 8))
+    # residue capacity: unresolved ≈ 1.5-3% at factor 64/32 — np_/16
+    # leaves ≥5x margin; overflow falls to the (normally zero-iteration)
+    # full-width walk below
+    cap = min(np_, max(4096, np_ // 16))
     idx_un, n_un, _ = _padded_compact(unresolved)
     sel = jnp.clip(idx_un[:cap].view(jnp.int32), 0, np_ - 1)
     row_live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(
