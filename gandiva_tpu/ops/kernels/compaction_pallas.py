@@ -185,6 +185,169 @@ def _kernel(offsets_ref, rowoffs_ref, mask_ref, *refs, num_payloads: int,
                               sem.at[jnp.int32(p)]).wait()
 
 
+
+
+def _kernel_fragnet(offsets_ref, mask_ref, *refs, num_payloads: int,
+                    rows: int):
+    """Fragment-network placement (r4): replaces the per-row masked-store
+    loop — the old kernel's dominant cost (~11 of 14.8 us per 8k-row block:
+    rows x payloads 2048-wide masked stores) — with fully vectorized
+    routing:
+
+    1. lane butterfly packs each 128-chunk (shared with the old kernel);
+    2. per-chunk output offsets come from a log-roll exclusive scan of the
+       chunk counts ([rows,1] column vectors — no scalar extracts, no
+       side-channel rowoffs array);
+    3. every chunk rotates right by (offset mod 128) via 7 conditional
+       roll stages, then splits into a main fragment (dest row off//128)
+       and a wrapped fragment (dest row +1);
+    4. fragments route to their destination rows through a log-stage
+       shift-up network with additive merge — conflict-free because
+       destinations are monotone (equal-dest fragments occupy disjoint
+       lanes and carry equal remaining shifts; validated exhaustively in
+       numpy, scratch/dbg_fragnet.py);
+    5. the block's [rows+16, 128] image merges with the DMA'd boundary
+       tile (select on flat position < t) and DMAs out as one span.
+
+    refs: payload_in x num_payloads (VMEM blocks), outs x num_payloads
+    (ANY, 2-D [*, LANE]), scratch: accum2d x num_payloads
+    ([rows+24, LANE] VMEM), bnd x num_payloads ([8, LANE] VMEM), DMA sems.
+    """
+    i = pl.program_id(0)
+    payload_in = refs[:num_payloads]
+    outs = refs[num_payloads:2 * num_payloads]
+    accums = refs[2 * num_payloads:3 * num_payloads]
+    bnds = refs[3 * num_payloads:4 * num_payloads]
+    sem = refs[4 * num_payloads]
+
+    start = offsets_ref[i]
+    tile1024 = jnp.int32(SUB * LANE)
+    b = pl.multiple_of(lax.div(start, tile1024) * tile1024, SUB * LANE)
+    brow = lax.div(b, jnp.int32(LANE))
+    t = start - b
+
+    # start the boundary-tile reads early; they land while the butterfly
+    # runs (sequential grid: the previous block's span write has completed
+    # before this grid step issues its copies)
+    for p in range(num_payloads):
+        pltpu.make_async_copy(outs[p].at[pl.ds(brow, SUB)], bnds[p],
+                              sem.at[jnp.int32(p)]).start()
+
+    m = mask_ref[...].astype(jnp.int32)              # [rows, LANE] 0/1
+    lane_iota2 = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+
+    s = m
+    for k in range(7):
+        sh = 1 << k
+        s = s + jnp.where(lane_iota2 >= sh, pltpu.roll(s, jnp.int32(sh), 1),
+                          jnp.zeros_like(s))
+    dest = s - m
+
+    live = m
+    payloads = [payload_in[p][...] for p in range(num_payloads)]
+    for k in range(7):
+        stride = 1 << k
+        bit0 = ((lane_iota2 >> k) & 1) == 0
+
+        def partner(x, _b=bit0, _s=stride):
+            return jnp.where(_b, pltpu.roll(x, jnp.int32(LANE - _s), 1),
+                             pltpu.roll(x, jnp.int32(_s), 1))
+
+        p_live = partner(live)
+        p_dest = partner(dest)
+        want1 = (dest >> k) & 1
+        p_want1 = (p_dest >> k) & 1
+        a_live = jnp.where(bit0, live, p_live)
+        a_want = jnp.where(bit0, want1, p_want1)
+        b_live = jnp.where(bit0, p_live, live)
+        b_want = jnp.where(bit0, p_want1, want1)
+        A = a_live * a_want * (1 - b_live * b_want)
+        Bv = b_live * (1 - b_want) * (1 - a_live * (1 - a_want))
+        swap = (A + Bv) > 0
+        live = jnp.where(swap, p_live, live)
+        dest = jnp.where(swap, p_dest, dest)
+        payloads = [jnp.where(swap, partner(x), x) for x in payloads]
+
+    # ---- per-chunk offsets: exclusive log-roll scan over [rows, 1] ------
+    ri = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    cnt = s[:, LANE - 1:LANE]                        # [rows, 1] inclusive
+    inc = cnt
+    k = 1
+    while k < rows:
+        rolled = pltpu.roll(inc, jnp.int32(k), 0)
+        inc = inc + jnp.where(ri >= jnp.int32(k), rolled,
+                              jnp.zeros_like(inc))
+        k *= 2
+    offs = inc - cnt + t                             # [rows, 1]
+    rem = lax.rem(offs, jnp.int32(LANE))
+    d = lax.div(offs, jnp.int32(LANE))
+
+    # ---- rotate each chunk right by rem (7 conditional roll stages) -----
+    arrs = payloads + [live]
+    for k in range(7):
+        cond = ((rem >> k) & 1) > 0                  # [rows, 1]
+        arrs = [jnp.where(cond, pltpu.roll(x, jnp.int32(1 << k), 1), x)
+                for x in arrs]
+    live_r = arrs[-1]
+    c1 = lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    a_m = (c1 >= rem).astype(jnp.int32) * live_r     # main fragment lanes
+    b_m = (c1 < rem).astype(jnp.int32) * live_r      # wrapped fragment
+
+    AR = rows + 16
+    u = ri - d + jnp.int32(8)                        # shared shift [rows,1]
+
+    def pad_rows(x, top, width):
+        z = jnp.zeros((top, width), jnp.int32)
+        z2 = jnp.zeros((AR - top - rows, width), jnp.int32)
+        return jnp.concatenate([z, x, z2], axis=0)
+
+    def shift_up(P_list, u_pad):
+        k = 1
+        while k < AR:
+            uroll = pltpu.roll(u_pad, jnp.int32(AR - k), 0)
+            # stage uses bit log2(k) of the shift values
+            bit = lax.div(lax.rem(u_pad, jnp.int32(2 * k)), jnp.int32(k))
+            bit_r = lax.div(lax.rem(uroll, jnp.int32(2 * k)), jnp.int32(k))
+            stay_c = bit == 0                        # [AR,1] bool
+            arr_c = bit_r > 0
+            P_list = [jnp.where(arr_c,
+                                pltpu.roll(x, jnp.int32(AR - k), 0),
+                                jnp.zeros_like(x))
+                      + jnp.where(stay_c, x, jnp.zeros_like(x))
+                      for x in P_list]
+            u_pad = jnp.where(arr_c, uroll, u_pad)
+            k *= 2
+        return P_list
+
+    fragA = [x * a_m for x in arrs[:num_payloads]]
+    fragB = [x * b_m for x in arrs[:num_payloads]]
+    uA = pad_rows(u, 8, 1)
+    uB = pad_rows(u, 9, 1)
+    outA = shift_up([pad_rows(x, 8, LANE) for x in fragA], uA)
+    outB = shift_up([pad_rows(x, 9, LANE) for x in fragB], uB)
+
+    # ---- merge the boundary tile, write the image, DMA the span out -----
+    for p in range(num_payloads):
+        pltpu.make_async_copy(outs[p].at[pl.ds(brow, SUB)], bnds[p],
+                              sem.at[jnp.int32(p)]).wait()
+
+    fb = (lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0) * LANE
+          + lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1))
+    span_rows = rows + 3 * SUB                       # multiple of 8
+    for p in range(num_payloads):
+        img = outA[p] + outB[p]                      # [AR, LANE]
+        head = jnp.where(fb < t, bnds[p][...], img[:SUB, :])
+        accums[p][0:SUB, :] = head
+        accums[p][SUB:AR, :] = img[SUB:, :]
+        pltpu.make_async_copy(accums[p].at[pl.ds(0, span_rows)],
+                              outs[p].at[pl.ds(brow, span_rows)],
+                              sem.at[jnp.int32(p)]).start()
+    for p in range(num_payloads):
+        pltpu.make_async_copy(accums[p].at[pl.ds(0, span_rows)],
+                              outs[p].at[pl.ds(brow, span_rows)],
+                              sem.at[jnp.int32(p)]).wait()
+
+
 def compact_pallas_u32(mask, payloads_u32: Sequence,
                        rows_per_block: int = DEFAULT_ROWS):
     """Pack ``payloads_u32[i][mask]`` to the front; returns (packed list,
