@@ -63,9 +63,12 @@ def bench_filter_project(n, iters):
     return K * n / per_iter
 
 
-def bench_hash_aggregate(n, iters, groups=64):
-    """configs[1]: GROUP BY int64 key, sum+count+min+max. CPU baseline:
-    127.6 Mrows/s (threaded Acero)."""
+def bench_hash_aggregate(n, iters, groups=64, values: str = "float"):
+    """configs[1]: GROUP BY int64 key, sum+count+min+max over FLOAT values —
+    the baseline workload aggregates floats (bench_reference/
+    bench_arrow.py:36: val=rng.random(N), hash_min_max). CPU baseline:
+    127.6 Mrows/s (threaded Acero). ``values="int"`` records the int64
+    variant as a secondary line (VERDICT r4 weak #2)."""
     import jax
     import jax.numpy as jnp
 
@@ -77,13 +80,17 @@ def bench_hash_aggregate(n, iters, groups=64):
                                     ("v", "min"), ("v", "max")],
                              {"v": (vals, None)}, max_groups=groups)
         return (res["group_count"].astype(jnp.int64)
-                + jnp.sum(res["agg:v:sum"])
+                + jnp.sum(res["agg:v:sum"]).astype(jnp.int64)
                 + jnp.sum(res["agg:v:count"])
-                + jnp.sum(res["agg:v:min"]) + jnp.sum(res["agg:v:max"]))
+                + jnp.sum(res["agg:v:min"]).astype(jnp.int64)
+                + jnp.sum(res["agg:v:max"]).astype(jnp.int64))
 
     key = jax.random.PRNGKey(1)
     keys = jax.random.randint(key, (n,), 0, groups, dtype=jnp.int64) * 7 + 3
-    vals = jax.random.randint(key, (n,), -1000, 1000, dtype=jnp.int64)
+    if values == "float":
+        vals = jax.random.uniform(key, (n,), dtype=jnp.float64)
+    else:
+        vals = jax.random.randint(key, (n,), -1000, 1000, dtype=jnp.int64)
     int(run(keys, vals))
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -182,6 +189,9 @@ def main():
                            16 * MI, 23.7e6, 22),
         "agg": (lambda n: bench_hash_aggregate(n, iters),
                 100_000_000, 127.6e6, 16),
+        # int64-value variant (r4's headline), kept as a secondary line
+        "agg_int": (lambda n: bench_hash_aggregate(n, iters, values="int"),
+                    100_000_000, 127.6e6, 16),
         "sort": (lambda n: bench_sort(n, iters), 100_000_000, 1.3e6, 32),
         "join": (lambda n: bench_join(
             n, int(os.environ.get("BENCH_BUILD_ROWS", 1024 * 1024)), iters),

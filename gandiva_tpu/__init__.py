@@ -34,7 +34,8 @@ from .registry import datetime_ops as _datetime_ops  # noqa: E402,F401
 from .registry import string_ops as _string_ops  # noqa: E402,F401
 from .registry import hash_ops as _hash_ops  # noqa: E402,F401
 from .registry import decimal_ops as _decimal_ops  # noqa: E402,F401
-from .registry.registry import (ExpressionValidationError,  # noqa: E402
+from .registry.registry import (EvaluationError,  # noqa: E402
+                                ExpressionValidationError,
                                 FunctionRegistry, global_registry)
 from .registry.signature import FunctionSignature  # noqa: E402
 
@@ -69,7 +70,7 @@ __all__ = [
     "make_filter", "make_filter_project",
     "FunctionRegistry", "FunctionSignature", "global_registry",
     "get_registered_function_signatures",
-    "ExpressionValidationError",
+    "ExpressionValidationError", "EvaluationError",
     "Plan", "PlanError", "load_plan", "dump_plan",
     "make_projector_from_plan", "make_filter_from_plan",
     "ops", "parallel", "native",

@@ -54,8 +54,19 @@ def enable_persistent_cache() -> None:
 
 @dataclasses.dataclass(frozen=True)
 class Configuration:
+    """``raise_errors`` (engine extension, default False): surface runtime
+    evaluation errors — integer/decimal divide-by-zero, castDECIMAL
+    overflow — as Python exceptions at the Evaluate boundary, matching the
+    reference's Status-from-Evaluate contract (gandiva raises e.g. "divide
+    by zero error" from Projector::Evaluate). A TPU kernel cannot raise, so
+    the compiled plan reduces per-row error predicates to one device error
+    code returned alongside the outputs; the host checks it per batch
+    (one extra scalar sync per Evaluate — the price of Status parity, which
+    is why the flag is opt-in; off, integer x/0 yields 0, documented in
+    registry/numeric.py)."""
     optimize: bool = True
     dump_ir: bool = False
+    raise_errors: bool = False
 
 
 class ConfigurationBuilder:
@@ -66,6 +77,7 @@ class ConfigurationBuilder:
     def __init__(self):
         self._optimize = True
         self._dump_ir = False
+        self._raise_errors = False
 
     def with_optimize(self, v: bool) -> "ConfigurationBuilder":
         self._optimize = bool(v)
@@ -75,8 +87,13 @@ class ConfigurationBuilder:
         self._dump_ir = bool(v)
         return self
 
+    def with_raise_errors(self, v: bool) -> "ConfigurationBuilder":
+        self._raise_errors = bool(v)
+        return self
+
     def build(self) -> Configuration:
-        return Configuration(self._optimize, self._dump_ir)
+        return Configuration(self._optimize, self._dump_ir,
+                             self._raise_errors)
 
     @classmethod
     def default_configuration(cls) -> Configuration:

@@ -47,7 +47,8 @@ class TraceContext:
 
     def __init__(self, capacity: int, length, columns: Dict[str, Val],
                  tables: Optional[List[Any]] = None,
-                 batch=None, rng_key=None, schema=None):
+                 batch=None, rng_key=None, schema=None,
+                 check_errors: bool = False):
         self.capacity = capacity
         self.schema = schema            # plan schema (prepass fallbacks)
         self.length = length            # device scalar (row count)
@@ -58,6 +59,11 @@ class TraceContext:
         self._table_idx = 0
         self._rng_key = rng_key
         self._rng_count = 0
+        # runtime-error surface (Configuration.raise_errors): kernels record
+        # per-row error predicates; the plan reduces them to one device code
+        self.check_errors = check_errors
+        self.error_flags: List[Any] = []
+        self.error_messages: List[str] = []
 
     @property
     def discovering(self) -> bool:
@@ -95,6 +101,27 @@ class TraceContext:
     def row_mask(self):
         idx = jnp.arange(self.capacity)
         return idx < self.length
+
+    def add_error(self, row_has_error, message: str) -> None:
+        """Record a per-row runtime-error predicate (Status parity: the
+        reference raises from Evaluate, e.g. "divide by zero error" on
+        integer x/0 — SURVEY.md §5.3). A no-op unless the plan's
+        Configuration enables ``raise_errors``, so the default path pays
+        nothing. Rows past ``length`` never error."""
+        if not self.check_errors:
+            return
+        mask = jnp.broadcast_to(row_has_error, (self.capacity,)) \
+            & self.row_mask()
+        self.error_messages.append(message)
+        self.error_flags.append(jnp.any(mask))
+
+    def error_code(self):
+        """Reduce recorded error flags to one int32 device scalar: 0 = ok,
+        i+1 = index of the FIRST (in registration order) firing error."""
+        code = jnp.zeros((), jnp.int32)
+        for i, f in enumerate(self.error_flags):
+            code = jnp.where((code == 0) & f, jnp.int32(i + 1), code)
+        return code
 
 
 def _and_validity(vals: List[Optional[Any]]):

@@ -82,6 +82,12 @@ class SelectionVector:
         """Compact a boolean mask into packed indices (traceable)."""
         from ..ops.compaction import compact_mask
 
+        if mode is SelectionMode.UINT16 and mask.shape[0] > (1 << 16):
+            # reference parity: MakeInt16 bounds capacity at construction
+            # (libgandiva.pxd:58-71); wrapping would corrupt indices
+            raise ValueError(
+                "selection mode UINT16 cannot address masks over 65536 "
+                f"rows (got {mask.shape[0]})")
         idx, count = compact_mask(mask, capacity=capacity,
                                   index_dtype=_MODE_DTYPE[mode])
         return SelectionVector(idx, count, mode)

@@ -98,13 +98,17 @@ def flagship_stream():
     run = fp.stream_fn(consume)
     jfn = jax.jit(lambda cols: jnp.sum(run(cols)))
 
-    def make_inputs(K: int, n: int, seed: int = 42):
+    def make_inputs(K: int, n: int, seed: int = 42,
+                    null_frac: float = 0.05):
+        """BASELINE configs[0] inputs: nullable int64 ``a`` (5% nulls —
+        bench_reference/bench_arrow.py:15-17), non-null float64 ``b``."""
         key = jax.random.PRNGKey(seed)
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         a = jax.random.randint(k1, (K, n), 0, 1000, dtype=jnp.int64)
         b = jax.random.uniform(k2, (K, n), dtype=jnp.float64)
+        a_valid = jax.random.uniform(k3, (K, n)) >= null_frac
         ones = jnp.ones((K, n), dtype=bool)
-        return {"a": (a, ones), "b": (b, ones)}
+        return {"a": (a, a_valid), "b": (b, ones)}
 
     return jfn, make_inputs
 

@@ -198,6 +198,7 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
             col_need[name][1] = True
     value_limbs = []
     specs = []
+    lossy = jnp.zeros((), bool)
     for name in col_order:
         arr, vv = values[name]
         if arr.dtype in _FLOATS:
@@ -208,6 +209,19 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
             if arr.dtype == jnp.float64:
                 hi = arr.astype(jnp.float32)
                 lo = (arr - hi.astype(jnp.float64)).astype(jnp.float32)
+                # f32-plane range guard (ADVICE r4): |x| beyond f32 range
+                # rounds the hi plane to inf (sums go NaN), |x| below the
+                # f32 normal floor flushes to zero on TPU (FTZ) and the
+                # value vanishes from sums. Flag participating rows in
+                # either regime through the overflow flag so callers retry
+                # on the exact XLA path (backend="xla").
+                danger = ~jnp.isfinite(hi) | \
+                    ((arr != 0) & (jnp.abs(arr) <
+                                   jnp.float64(np.finfo(np.float32).tiny)))
+                part = row_valid & danger
+                if vv is not None:
+                    part = part & vv
+                lossy = lossy | jnp.any(part)
             else:
                 hi = jnp.zeros(arr.shape, jnp.float32)
                 lo = arr
@@ -262,7 +276,7 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
     count_all_any = ak.counts_from(per[0])[0]             # [Gcap+8]
     has_null = (count_all_any[Gcap] > 0) if has_null_path \
         else jnp.array(False)
-    overflow = (ovf > 0) | (cnt > max_groups)
+    overflow = (ovf > 0) | (cnt > max_groups) | lossy
 
     def place(decoded):
         """[Gcap+8] kernel slots → [G_out] output slots: real groups

@@ -449,12 +449,19 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     nb = sorted_norm.shape[0]
     np_ = pk_norm.shape[0]
     # widen small tables: higher factors cut both chain incidence and
-    # chain length (round-1 resolution ~97% at 32, ~98.5% at 64), for
-    # ≤512 MB of table
+    # chain length (round-1 resolution ~97% at 32, ~98.5% at 64) — but each
+    # slot is 4×i32 = 16 B, so cap the widened table by ACTUAL bytes
+    # (ADVICE r4: the old "≤512 MB" comment undercounted 4×): factor halves
+    # until (T + nb slack)·16 B fits ~1.5 GiB (<10% of v5e HBM, leaving
+    # room for a 100M-row probe + index outputs alongside).
     if nb <= (1 << 21):
         table_factor = max(table_factor, 64)
     elif nb <= (1 << 22):
         table_factor = max(table_factor, 32)
+    budget = 1536 << 20
+    while table_factor > 4 and \
+            (table_size_for(nb, table_factor) + nb) * 16 > budget:
+        table_factor //= 2
     T = table_size_for(nb, table_factor)
     # slack tail: worst-case first-fit overhang is < nb slots past the
     # last home slot

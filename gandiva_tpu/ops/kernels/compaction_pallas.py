@@ -39,7 +39,7 @@ DEFAULT_ROWS = 64          # chunks (sublane rows) per block — swept on v5e
                            # (r4, XLA-side rowoffs): 16→367, 32→456,
                            # 64→554, 128→527 Mrows/s @16M; 256+ fail to
                            # compile (giant static store unroll)
-BLOCK = DEFAULT_ROWS * LANE  # 4096 rows per block
+BLOCK = DEFAULT_ROWS * LANE  # 8192 rows per block
 
 
 def _kernel(offsets_ref, rowoffs_ref, mask_ref, *refs, num_payloads: int,

@@ -342,11 +342,21 @@ def merge_sort_u32(limbs: Sequence[jnp.ndarray],
     Same comparator contract as bitonic_sort_u32; carries are new.
     """
     n = int(limbs[0].shape[0])
-    # VMEM guard: windows + merged values + partner temps scale with the
-    # limb count; above 5 limbs the 64k tile overflows VMEM (remote
-    # compiler crash at 6 limbs, r4) — drop to 32k tiles
-    if len(limbs) + 1 + len(carry) > 5:
-        w_log2 = min(w_log2, 15)
+    # VMEM guard: windows (2·(K+ALIGN)) + out block (K) + merge temporaries
+    # (vals + two partner arrays ≈ 6K live int32 lanes) scale LINEARLY with
+    # the limb count — ~(9K + 2·ALIGN)·4 B per limb (predicts 17.8 MB for
+    # the 15-limb × K=32k case the r4 guard let through; measured crash was
+    # "16.29M and limit 16.00M", ADVICE r4). Halve the tile until the
+    # estimate fits a 14 MB budget (2 MB headroom for spill/align slop);
+    # each halving costs one extra merge round, so ~90 limbs still compile
+    # at the 2^12 floor.
+    num_limbs_tot = len(limbs) + 1 + len(carry)
+
+    def _vmem_est(wl):
+        return num_limbs_tot * (9 * (1 << wl) + 2 * ALIGN) * 4
+
+    while w_log2 > 12 and _vmem_est(w_log2) > 14 * 2 ** 20:
+        w_log2 -= 1
     W = 1 << w_log2
     nw = ((n + W - 1) // W) * W
     total = nw + 2 * W          # slack for window DMA overrun

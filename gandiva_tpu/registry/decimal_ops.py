@@ -142,8 +142,11 @@ def _divide(ctx, args):
     xh, xl = i128.mul_pow10(ah, al, max(delta, 0))
     if delta < 0:
         xh, xl = i128.div_pow10_round(xh, xl, -delta)
-    # guard divide-by-zero: quotient 0 (engine divergence note in numeric.py)
+    # guard divide-by-zero: quotient 0 (engine divergence note in
+    # numeric.py; Configuration.raise_errors restores the reference raise)
     zero_div = (bh == 0) & (bl == 0)
+    from .numeric import rows_evaluated
+    ctx.add_error(zero_div & rows_evaluated(args), "divide by zero error")
     safe_bl = jnp.where(zero_div, jnp.ones_like(bl), bl)
     qh, ql, rh, rl = i128.divmod128(xh, xl, bh, safe_bl)
     # round half away from zero: |r|*2 >= |b| → bump toward sign
@@ -170,6 +173,8 @@ def _mod(ctx, args):
     ah, al = _rescale(*_limbs(a), a.dtype.scale, out_t.scale)
     bh, bl = _rescale(*_limbs(b), b.dtype.scale, out_t.scale)
     zero_div = (bh == 0) & (bl == 0)
+    from .numeric import rows_evaluated
+    ctx.add_error(zero_div & rows_evaluated(args), "divide by zero error")
     safe_bl = jnp.where(zero_div, jnp.ones_like(bl), bl)
     _, _, rh, rl = i128.divmod128(ah, al, bh, safe_bl)
     rh = jnp.where(zero_div, jnp.zeros_like(rh), rh)
@@ -331,6 +336,15 @@ def _cast_decimal_impl(null_on_overflow: bool):
                 fits = fits & ~overflow
             v = fits if a.validity is None else (a.validity & fits)
             out.validity = v
+        else:
+            # Status parity (Configuration.raise_errors): the plain cast
+            # surfaces precision overflow as an Evaluate-time error instead
+            # of wrapping silently (VERDICT r4 #7)
+            from .numeric import rows_evaluated
+            bad = ~_fits_precision(hi, lo, t.precision)
+            if overflow is not None:
+                bad = bad | overflow
+            ctx.add_error(bad & rows_evaluated(args), "castDECIMAL: overflow")
         return out
 
     return impl

@@ -161,6 +161,13 @@ class ExpressionValidationError(Exception):
     (observable in pyarrow test_gandiva.py:159-161)."""
 
 
+class EvaluationError(Exception):
+    """Runtime evaluation error raised at the Evaluate boundary when the
+    plan's Configuration enables ``raise_errors`` — the reference's
+    Status-from-Evaluate contract (e.g. "divide by zero error"),
+    SURVEY.md §5.3."""
+
+
 # The process-wide registry, populated by the category modules on import.
 _REGISTRY = FunctionRegistry()
 

@@ -314,3 +314,39 @@ def test_pallas_512_groups_vs_acero():
         s, c, mn, mx = oracle[k]
         assert int(sums[i]) == s
         assert int(maxs[i]) == mx
+
+
+def test_pallas_f64_out_of_f32_range_sets_overflow():
+    """ADVICE r4 high: the f64 Pallas tier rides (hi, lo) f32 planes, so
+    legal f64 values beyond f32 range (or below the f32 normal floor, which
+    TPU flushes to zero) silently corrupt sums. The range guard must flag
+    such batches through the overflow flag so callers retry on the exact
+    XLA path."""
+    keys = np.zeros(2048, dtype=np.int64)
+    for bad in (1e300, 1e-45, np.inf):
+        vals = np.full(2048, bad, dtype=np.float64)
+        res = hash_aggregate(
+            jnp.asarray(keys), [("v", "sum"), ("v", "min")],
+            {"v": (jnp.asarray(vals), None)},
+            max_groups=8, backend="pallas_interpret")
+        assert bool(res["overflow"]), f"value {bad} not flagged"
+        # the XLA fallback the flag directs callers to is exact
+        res2 = hash_aggregate(
+            jnp.asarray(keys), [("v", "sum"), ("v", "min")],
+            {"v": (jnp.asarray(vals), None)},
+            max_groups=8, backend="xla")
+        assert not bool(res2["overflow"])
+        got = float(np.asarray(res2["agg:v:sum"])[0])
+        np.testing.assert_allclose(got, float(np.sum(vals)), rtol=1e-12)
+    # in-range values stay unflagged (no false positives)
+    vals = np.linspace(-1e30, 1e30, 2048)
+    res = hash_aggregate(
+        jnp.asarray(keys), [("v", "sum")], {"v": (jnp.asarray(vals), None)},
+        max_groups=8, backend="pallas_interpret")
+    assert not bool(res["overflow"])
+    # exact zero is fine (the underflow test is (x != 0) & small)
+    vals = np.zeros(2048)
+    res = hash_aggregate(
+        jnp.asarray(keys), [("v", "sum")], {"v": (jnp.asarray(vals), None)},
+        max_groups=8, backend="pallas_interpret")
+    assert not bool(res["overflow"])
