@@ -67,6 +67,8 @@ def segment_reduce(gid, values, num_groups: int, kind: str,
         acc_dtype = values.dtype
         if values.dtype in (jnp.int8, jnp.int16, jnp.int32):
             acc_dtype = jnp.int64
+        elif values.dtype in (jnp.uint8, jnp.uint16, jnp.uint32):
+            acc_dtype = jnp.uint64  # Acero: unsigned sums widen to uint64
         z = jnp.zeros((), dtype=acc_dtype)
         return jnp.sum(jnp.where(member, values[:, None].astype(acc_dtype),
                                  z), axis=0)
@@ -107,6 +109,8 @@ def _segment_reduce_scatter(gid, values, num_groups: int, G: int, kind: str,
         acc_dtype = values.dtype
         if values.dtype in (jnp.int8, jnp.int16, jnp.int32):
             acc_dtype = jnp.int64
+        elif values.dtype in (jnp.uint8, jnp.uint16, jnp.uint32):
+            acc_dtype = jnp.uint64
         out = jnp.zeros((G + 1,), dtype=acc_dtype).at[idx].add(
             values.astype(acc_dtype), mode="drop")
         return out[:G]
@@ -132,6 +136,7 @@ def _segment_reduce_scatter(gid, values, num_groups: int, G: int, kind: str,
 
 
 _SIGNED_INTS = (jnp.int8, jnp.int16, jnp.int32, jnp.int64)
+_UNSIGNED_INTS = (jnp.uint8, jnp.uint16, jnp.uint32, jnp.uint64)
 _FLOATS = (jnp.float32, jnp.float64)
 
 
@@ -159,7 +164,8 @@ def _pallas_eligible(keys, aggs, values, max_groups: int,
         if kind == "count_all":
             continue
         arr, _ = values[name]
-        if arr.dtype not in _SIGNED_INTS and arr.dtype not in _FLOATS:
+        if arr.dtype not in _SIGNED_INTS and arr.dtype not in _FLOATS \
+                and arr.dtype not in _UNSIGNED_INTS:
             return False
     return True
 
@@ -228,6 +234,16 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
             vhi = (_norm_f32(hi) ^ jnp.uint32(0x8000_0000)).view(jnp.int32)
             vlo = _norm_f32(lo).view(jnp.int32)
             is_float = True
+        elif arr.dtype == jnp.uint64:
+            # order-preserving bias flip into int64 lanes (r5 — VERDICT r4
+            # #8 unsigned encodings): min/max ride the signed compare and
+            # decode by re-flipping; the kernel's mod-2^64 sum of biased
+            # values decodes as sum - count·2^63 (mod 2^64). Empty-group
+            # sentinels int64::max/min decode to uint64::max/0 — exactly
+            # the unsigned identities.
+            v64 = (arr ^ jnp.uint64(1 << 63)).view(jnp.int64)
+            vlo, vhi = (x.view(jnp.int32) for x in split_i64(v64))
+            is_float = False
         else:
             v64 = arr.astype(jnp.int64)
             vlo, vhi = (x.view(jnp.int32) for x in split_i64(v64))
@@ -317,6 +333,13 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
                 s = jnp.where(cv > 0, s, 0.0)
             else:
                 s = place(ak.sum_from(acc))
+                if vdt == jnp.uint64:
+                    # undo the per-value 2^63 bias: mod-2^64 arithmetic
+                    cv = place(cval)
+                    s = s.view(jnp.uint64) - \
+                        (cv.astype(jnp.uint64) << jnp.uint64(63))
+                elif vdt in _UNSIGNED_INTS:
+                    s = s.astype(jnp.uint64)  # Acero: unsigned sums → u64
             if kind == "sum":
                 out[f"agg:{name}:sum"] = s.astype(vdt) if is_float else s
             else:
@@ -343,13 +366,18 @@ def _hash_aggregate_pallas(keys, aggs, values, key_valid, row_valid,
         else:  # integer min / max
             mn, mx = ak.minmax_from(acc)
             d = place(mn if kind == "min" else mx)
-            if vdt != jnp.int64:
+            if vdt == jnp.uint64:
+                # re-flip the bias; the int64 sentinels map to the uint64
+                # identities by construction (see the encode comment)
+                d = d.view(jnp.uint64) ^ jnp.uint64(1 << 63)
+            elif vdt != jnp.int64:
                 # narrow dtype: swap the int64 empty-group sentinel for the
                 # narrow identity BEFORE the cast (int64::max wraps to -1)
                 ident = jnp.iinfo(vdt).max if kind == "min" \
                     else jnp.iinfo(vdt).min
                 cv = place(cval)
-                d = jnp.where(cv == 0, jnp.int64(ident), d).astype(vdt)
+                d = jnp.where(cv == 0, jnp.int64(int(ident)),
+                              d).astype(vdt)
             out[f"agg:{name}:{kind}"] = d
     return out
 

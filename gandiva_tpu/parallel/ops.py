@@ -260,10 +260,19 @@ def dist_join_skewed(probe_keys, probe_valid, probe_cols,
     usual. This bounds any shard's receive volume at
     cold_rows/P + its own hot rows, defusing Zipf skew (north_star:
     'skew-aware repartitioning').
+
+    right/full (r5 — VERDICT r4 #5): unmatched-build emission must see the
+    GLOBAL match truth for replicated hot rows (a replica may match on one
+    shard only). The local join runs as inner (right) / left (full), the
+    per-shard hit flags over the replicated block — whose [P*cap_h] layout
+    is identical on every shard by construction — are pmax-combined over
+    the mesh, and each unmatched hot row emits only on its origin shard.
+    Cold build rows are fully local (their probes co-shuffle to the same
+    shard), so their unmatched emission needs no collective. This function
+    assumes non-null keys (use dist_join for null-key outer semantics).
     """
-    if how not in ("inner", "semi", "left", "anti"):
-        raise ValueError(f"skewed join supports inner/semi/left/anti, "
-                         f"got {how!r}")
+    if how not in ("inner", "semi", "left", "anti", "right", "full"):
+        raise ValueError(f"unknown join type {how!r}")
     P = lax.axis_size(axis)
     me = lax.axis_index(axis)
 
@@ -296,9 +305,6 @@ def dist_join_skewed(probe_keys, probe_valid, probe_cols,
     p_hot = _is_in_table(probe_keys, hot_keys, hot_valid)
     part_p = jnp.where(p_hot, me,
                        partition_of(probe_keys, P, jnp.uint32(seed)))
-    part_b = jnp.where(b_hot, P + 1,  # drop hot build rows from the shuffle
-                       partition_of(build_keys, P, jnp.uint32(seed)))
-    part_b = jnp.where(build_valid, part_b, P + 1).astype(jnp.int32)
 
     pk, pvalid, pcols, ov1 = _shuffle_cols(
         probe_keys, probe_valid, probe_cols, axis, probe_capacity,
@@ -318,10 +324,47 @@ def dist_join_skewed(probe_keys, probe_valid, probe_cols,
                            jnp.concatenate([
                                vv1 if vv1 is not None else bvalid, vv2]))
 
-    res = join(pk, all_bk, out_capacity, how,
+    # right/full run the pair part locally (inner / left) and append
+    # unmatched build rows with global hit flags below
+    base_how = {"right": "inner", "full": "left"}.get(how, how)
+    res = join(pk, all_bk, out_capacity, base_how,
                probe_valid=None, build_valid=None,
                probe_exists=pvalid, build_exists=all_bvalid,
                build_unique=build_unique)
+
+    if how in ("right", "full"):
+        C = out_capacity
+        nb_local = bk.shape[0]
+        nb_all = all_bk.shape[0]
+        r = jnp.arange(C)
+        pair_ok = (r < res.count) & (res.build_idx >= 0)
+        bi = jnp.where(pair_ok, res.build_idx, nb_all)
+        bhit = jnp.zeros((nb_all + 1,), jnp.int32).at[bi].max(
+            1, mode="drop")[:nb_all] > 0
+        # replicated block: combine hit flags across the mesh (layout is
+        # identical everywhere); each row emits only on its origin shard
+        rep_hit = lax.pmax(bhit[nb_local:].astype(jnp.int32), axis) > 0
+        own = (jnp.arange(P * cap_h) // cap_h) == me
+        un_cold = bvalid & ~bhit[:nb_local]
+        un_hot = rep_ok & ~rep_hit & own
+        unmatched = jnp.concatenate([un_cold, un_hot])
+        n_un = jnp.sum(unmatched.astype(jnp.int32))
+        upos = jnp.cumsum(unmatched.astype(jnp.int32)) - unmatched
+        total = res.count
+        uslot = jnp.where(unmatched & (total + upos < C),
+                          total + upos, C).astype(jnp.int32)
+        build_out = jnp.concatenate(
+            [res.build_idx, jnp.zeros((1,), res.build_idx.dtype)]
+        ).at[uslot].set(jnp.arange(nb_all, dtype=res.build_idx.dtype),
+                        mode="drop")[:C]
+        probe_out = jnp.concatenate(
+            [res.probe_idx, jnp.zeros((1,), res.probe_idx.dtype)]
+        ).at[uslot].set(-1, mode="drop")[:C]
+        total2 = total + n_un
+        res = JoinResult(probe_out, build_out,
+                         jnp.minimum(total2, C).astype(jnp.int32),
+                         res.overflow | (total2 > C))
+
     out_cols, row_ok = gather_payload(
         res, probe_cols={**{n: v for n, v in pcols.items()},
                          "__probe_key": (pk, pvalid)},

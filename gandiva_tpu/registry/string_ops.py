@@ -731,41 +731,94 @@ def cast_varchar_numeric_prepass(ctx, node, args):
     return Val(codes, a.validity, dt.string, dict_thunk=dict_thunk)
 
 
-def _cast_varchar_numeric(ctx, args):
-    a = args[0]
-    maxlen = None
-    if len(args) == 2:
-        maxlen = int(_require_literal(args[1], "castVARCHAR", "#2"))
-    name = a.source_field
-    if name is None:
-        raise ExpressionValidationError(
-            "castVARCHAR over a computed numeric value requires the plan "
-            "schema for the prepass fallback (compile through "
-            "Projector/Filter — direct registry calls lack it)")
-    src_t = a.dtype
+def _cast_varchar_numeric_impl(out_dtype, fname: str):
+    """castVARCHAR / castVARBINARY over a direct numeric column: per-batch
+    factorization thunk + formatted dictionary. castVARBINARY formats the
+    same digits then carries them as bytes (gandiva string_ops.cc
+    gdv_fn_castVARBINARY_int64 — same text, binary-tagged output)."""
 
-    def codes_thunk(batch, _n=name):
-        vals = np.asarray(batch.column(_n).data)
-        _, inv = np.unique(vals, return_inverse=True)
-        return inv.astype(np.int32)
+    def impl(ctx, args):
+        a = args[0]
+        maxlen = None
+        if len(args) == 2:
+            maxlen = int(_require_literal(args[1], fname, "#2"))
+        name = a.source_field
+        if name is None:
+            raise ExpressionValidationError(
+                f"{fname} over a computed numeric value requires the plan "
+                "schema for the prepass fallback (compile through "
+                "Projector/Filter — direct registry calls lack it)")
+        src_t = a.dtype
 
-    codes = ctx.add_table(codes_thunk)
+        def codes_thunk(batch, _n=name):
+            vals = np.asarray(batch.column(_n).data)
+            _, inv = np.unique(vals, return_inverse=True)
+            return inv.astype(np.int32)
 
-    def dict_thunk(batch, _n=name, _t=src_t, _m=maxlen):
-        import pyarrow as pa
-        uniq = np.unique(np.asarray(batch.column(_n).data))
-        strs = [_fmt_numeric(v, _t) for v in uniq]
-        if _m is not None:
-            strs = [s[:_m] for s in strs]
-        return pa.array(strs, type=pa.string())
+        codes = ctx.add_table(codes_thunk)
 
-    return Val(codes, a.validity, dt.string, dict_thunk=dict_thunk)
+        def dict_thunk(batch, _n=name, _t=src_t, _m=maxlen):
+            import pyarrow as pa
+            uniq = np.unique(np.asarray(batch.column(_n).data))
+            strs = [_fmt_numeric(v, _t) for v in uniq]
+            if _m is not None:
+                strs = [s[:_m] for s in strs]
+            if out_dtype.kind is dt.TypeKind.BINARY:
+                return pa.array([s.encode() for s in strs],
+                                type=pa.binary())
+            return pa.array(strs, type=pa.string())
 
+        return Val(codes, a.validity, out_dtype, dict_thunk=dict_thunk)
+
+    return impl
+
+
+_cast_varchar_numeric = _cast_varchar_numeric_impl(dt.string, "castVARCHAR")
+_cast_varbinary_numeric = _cast_varchar_numeric_impl(dt.binary,
+                                                     "castVARBINARY")
 
 for _t in (dt.int32, dt.int64, dt.float32, dt.float64):
     _R.register("castVARCHAR", [_t], dt.string, _cast_varchar_numeric)
     _R.register("castVARCHAR", [_t, dt.int64], dt.string,
                 _cast_varchar_numeric)
+    _R.register("castVARBINARY", [_t, dt.int64], dt.binary,
+                _cast_varbinary_numeric)
+
+
+# ---------------------------------------------------------------------------
+# castVARBINARY family (r5 — VERDICT r4 #8; gandiva string_ops.cc
+# castVARBINARY_utf8 / castVARBINARY_binary: truncate to maxlen BYTES,
+# re-tag as binary; 0 means unlimited)
+# ---------------------------------------------------------------------------
+
+def _cast_varbinary_bytes(ctx, args):
+    a = args[0]
+    maxlen = int(_require_literal(args[1], "castVARBINARY", "#2"))
+
+    def f(d, _m=maxlen):
+        out = []
+        for v in d:
+            if v is None:
+                out.append(None)
+                continue
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out.append(b[:_m] if _m > 0 else b)
+        return out
+
+    return _transform_dict(a, f, "castVARBINARY", out_dtype=dt.binary)
+
+
+_R.register("castVARBINARY", [dt.string, dt.int64], dt.binary,
+            _cast_varbinary_bytes)
+_R.register("castVARBINARY", [dt.binary, dt.int64], dt.binary,
+            _cast_varbinary_bytes)
+_R.register("castBINARY", [dt.string], dt.binary,
+            lambda ctx, args: _transform_dict(
+                args[0],
+                lambda d: [None if v is None else
+                           (v.encode("utf-8") if isinstance(v, str)
+                            else bytes(v)) for v in d],
+                "castBINARY", out_dtype=dt.binary))
 
 
 # ---------------------------------------------------------------------------

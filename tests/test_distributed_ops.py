@@ -207,7 +207,7 @@ def test_dist_sort_skewed():
     np.testing.assert_array_equal(out_k, np.sort(keys, kind="stable"))
 
 
-@pytest.mark.parametrize("how", ["inner", "semi"])
+@pytest.mark.parametrize("how", ["inner", "semi", "right", "full"])
 def test_dist_join_skewed(how):
     from gandiva_tpu.parallel.ops import dist_join_skewed
 
@@ -231,29 +231,31 @@ def test_dist_join_skewed(how):
             AXIS, probe_capacity=3 * nper, build_capacity=4 * build_per,
             out_capacity=4 * nper, how=how, num_hot=16,
             hot_replicate_capacity=64)
-        pvo, _ = cols["pv"]
+        pvo, pvok = cols["pv"]
         bvo, bvok = cols.get("bv", (jnp.zeros_like(pvo), row_ok))
-        return pvo, bvo, bvok, row_ok, overflow[None]
+        return pvo, pvok, bvo, bvok, row_ok, overflow[None]
 
     f = jax.jit(jax.shard_map(
-        step, mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=(P(AXIS),) * 5))
-    pvo, bvo, bvok, row_ok, overflow = f(
+        step, mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=(P(AXIS),) * 6))
+    pvo, pvok, bvo, bvok, row_ok, overflow = f(
         *_shard(mesh, jnp.asarray(probe), jnp.asarray(pv)),
         *_shard(mesh, jnp.asarray(build), jnp.asarray(bv)))
     assert not bool(np.asarray(overflow).any())
 
     row_ok = np.asarray(row_ok)
-    pvo, bvo, bvok = map(np.asarray, (pvo, bvo, bvok))
+    pvo, pvok, bvo, bvok = map(np.asarray, (pvo, pvok, bvo, bvok))
     if how == "semi":
         got = sorted(int(pvo[i]) for i in range(len(row_ok)) if row_ok[i])
     else:
-        got = sorted(((int(pvo[i]), int(bvo[i]) if bvok[i] else None)
+        got = sorted(((int(pvo[i]) if pvok[i] else None,
+                       int(bvo[i]) if bvok[i] else None)
                       for i in range(len(row_ok)) if row_ok[i]),
                      key=str)
 
     pt = pa.table({"k": probe, "pv": pv})
     bt = pa.table({"k": build, "bv": bv})
-    how_map = {"inner": "inner", "semi": "left semi"}
+    how_map = {"inner": "inner", "semi": "left semi",
+               "right": "right outer", "full": "full outer"}
     ores = pt.join(bt, keys="k", join_type=how_map[how],
                    coalesce_keys=False).to_pylist()
     if how == "semi":
