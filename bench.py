@@ -160,6 +160,46 @@ def bench_join(n_probe, n_build, iters, unique=None):
     return n_probe / ((time.perf_counter() - t0) / iters)
 
 
+def bench_join_full(n_probe_total, n_build, iters):
+    """configs[3] at FULL scale (1B probe × 10M build): the probe side
+    cannot be device-resident (8 GB of keys), so the join runs through the
+    build-once/probe-many streaming path (ops/hash_join.join_stream):
+    JoinTable built once, K chunks generated on device under the scan
+    (Zipf(1.3) via the same inverse-transform as bench_join) and reduced
+    to checksums — zero host round-trips inside one jit call."""
+    import jax
+    import jax.numpy as jnp
+
+    from gandiva_tpu.ops.hash_join import join_stream
+
+    K = int(os.environ.get("BENCH_JOIN_CHUNKS", 16))
+    n = max(1, n_probe_total // K)
+    build = jnp.arange(n_build, dtype=jnp.int64)
+
+    def chunk_fn(i):
+        key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        u = jax.random.uniform(key, (n,), minval=1e-5, maxval=1.0)
+        return (u ** (-1.0 / 0.3)).astype(jnp.int64) % n_build
+
+    def consume(res):
+        return (res.count.astype(jnp.int64)
+                + jnp.sum(res.probe_idx.astype(jnp.int64))
+                + jnp.sum(res.build_idx.astype(jnp.int64)))
+
+    run = jax.jit(join_stream(build, K, chunk_fn=chunk_fn, capacity=n,
+                              how="inner", consume=consume))
+
+    def call():
+        outs, ovf = run()
+        return int(jnp.sum(outs) + jnp.where(ovf, jnp.int64(-1), 0))
+
+    call()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        call()
+    return K * n / ((time.perf_counter() - t0) / iters)
+
+
 def main():
     """Run ALL four BASELINE configs (or a single BENCH_OP) and print one
     JSON line per operator plus a final combined line for the driver — the
@@ -202,6 +242,14 @@ def main():
             n, int(os.environ.get("BENCH_BUILD_ROWS", 1024 * 1024)), iters,
             unique=True),
             100_000_000, 3.4e6, 16),
+        # FULL-SCALE configs[3] (1B×10M) via the streaming build-once/
+        # probe-many path; CPU baseline is the 10x-scaled-down measurement
+        # (BASELINE.md: "rerun at full scale on the pod"), so vs_baseline
+        # here is conservative
+        "join_full": (lambda n: bench_join_full(
+            n, int(os.environ.get("BENCH_FULL_BUILD_ROWS", 10_000_000)),
+            max(1, iters // 2)),
+            1_024_000_000, 3.4e6, 16),
     }
     selected = list(plans) if only == "all" else [only]
     results = {}

@@ -348,6 +348,67 @@ def _kernel_fragnet(offsets_ref, mask_ref, *refs, num_payloads: int,
                               sem.at[jnp.int32(p)]).wait()
 
 
+def compact_pallas_u32_fragnet(mask, payloads_u32: Sequence,
+                               rows_per_block: int = DEFAULT_ROWS):
+    """Fragment-network variant of compact_pallas_u32 (r4-designed, wired
+    r5 — VERDICT r4 #3 / ADVICE r4): replaces the per-row masked-store
+    placement loop (the old kernel's dominant cost) with fully vectorized
+    per-chunk rotation + a monotone shift-merge network; see
+    _kernel_fragnet. Same contract as compact_pallas_u32."""
+    n = mask.shape[0]
+    B = rows_per_block * LANE
+    assert n % B == 0, (n, B)
+    nb = n // B
+    num_payloads = len(payloads_u32)
+    rows_total = n // LANE
+
+    m2 = mask.astype(jnp.int32).reshape(nb, rows_per_block, LANE)
+    counts = jnp.sum(m2, axis=(1, 2))
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    count = counts.sum()
+
+    AR = rows_per_block + 2 * SUB
+    span_rows = rows_per_block + 3 * SUB
+    out_rows = rows_total + 4 * SUB
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, rows_per_block, LANE),
+                               lambda i, *_: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, rows_per_block, LANE),
+                        lambda i, *_: (i, i * 0, i * 0),
+                        memory_space=pltpu.VMEM)] * num_payloads,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * num_payloads,
+        scratch_shapes=(
+            [pltpu.VMEM((span_rows, LANE), jnp.int32)
+             for _ in range(num_payloads)]
+            + [pltpu.VMEM((SUB, LANE), jnp.int32)
+               for _ in range(num_payloads)]
+            + [pltpu.SemaphoreType.DMA((num_payloads,))]),
+    )
+
+    def kernel(offsets_ref, mask_ref, *refs):
+        mask_r = mask_ref.at[0]
+        ins = [r.at[0] for r in refs[:num_payloads]]
+        rest = refs[num_payloads:]
+        _kernel_fragnet(offsets_ref, mask_r,
+                        *(tuple(ins) + tuple(rest)),
+                        num_payloads=num_payloads, rows=rows_per_block)
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((out_rows, LANE), jnp.int32)]
+        * num_payloads,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(offsets, m2, *[p.reshape(nb, rows_per_block, LANE)
+                     for p in payloads_u32])
+    return [o.reshape(out_rows * LANE)[:n] for o in outs], \
+        count.astype(jnp.int32)
+
+
 def compact_pallas_u32(mask, payloads_u32: Sequence,
                        rows_per_block: int = DEFAULT_ROWS):
     """Pack ``payloads_u32[i][mask]`` to the front; returns (packed list,

@@ -57,3 +57,32 @@ def test_butterfly_matches_sort():
                                   np.asarray(idx2)[:int(c2)])
     np.testing.assert_array_equal(np.asarray(cols[0])[:int(c1)],
                                   np.asarray(packed[0])[:int(c2)])
+
+
+@pytest.mark.parametrize("density", [0.0, 0.03, 0.5, 0.97, 1.0])
+def test_fragnet_matches_oracle(density):
+    """r5: the fragment-network kernel (vectorized rotation + monotone
+    shift-merge placement) must pack exactly like the oracle."""
+    rng = np.random.default_rng(int(density * 77) + 1)
+    n = 4 * cp.BLOCK
+    mask_np = rng.random(n) < density
+    pay = [rng.integers(0, 2**32, n, dtype=np.uint32) for _ in range(3)]
+    packed, count = cp.compact_pallas_u32_fragnet(
+        jnp.asarray(mask_np), [jnp.asarray(p).view(jnp.int32) for p in pay])
+    c = int(count)
+    assert c == int(mask_np.sum())
+    for got, exp in zip(packed, pay):
+        np.testing.assert_array_equal(
+            np.asarray(got.view(jnp.uint32))[:c], exp[mask_np])
+
+
+def test_fragnet_small_blocks():
+    rng = np.random.default_rng(5)
+    rows = 32
+    n = 3 * rows * 128
+    mask_np = rng.random(n) < 0.21
+    pay = rng.integers(0, 2**31, n, dtype=np.int32)
+    packed, count = cp.compact_pallas_u32_fragnet(
+        jnp.asarray(mask_np), [jnp.asarray(pay)], rows_per_block=rows)
+    c = int(count)
+    np.testing.assert_array_equal(np.asarray(packed[0])[:c], pay[mask_np])
