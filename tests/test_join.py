@@ -261,3 +261,40 @@ def test_join_stream_chunk_fn_and_consume():
         key = jax.random.fold_in(jax.random.PRNGKey(9), i)
         ch = jax.random.randint(key, (n,), 0, nb, dtype=jnp.int64)
         assert int(outs[i]) == n + int(np.sum(np.asarray(ch)))
+
+
+@pytest.mark.parametrize("dist", ["zipf", "uniform", "allsame"])
+def test_probe_ranges_hot_matches_dense(dist):
+    """r5 hot-key probe: identical (start, len) resolution to the dense
+    path on skewed, uniform (capacity-overflow → fallback walk), and
+    degenerate single-key probes."""
+    from gandiva_tpu.ops.hash_join import (_build_ranges_table,
+                                           _probe_ranges_dense,
+                                           _probe_ranges_hot)
+    from gandiva_tpu.ops.sort import SortKey, _sort_full, normalize_key
+
+    rng = np.random.default_rng(23)
+    nb = 4096
+    np_ = 65536
+    build = rng.integers(0, 3000, nb)     # duplicate runs included
+    if dist == "zipf":
+        probe = (rng.zipf(1.3, np_) % 3500).astype(np.int64)
+    elif dist == "uniform":
+        probe = rng.integers(0, 3500, np_)   # ~no hot keys -> overflow
+    else:
+        probe = np.full(np_, 7, dtype=np.int64)
+    bk = jnp.asarray(build)
+    pk_raw = jnp.asarray(probe)
+
+    kv = jnp.ones((nb,), bool)
+    perm, (sorted_keys,), _ = _sort_full(
+        [SortKey(bk, validity=kv, nulls_first=False)], None)
+    table, uniq = _build_ranges_table(sorted_keys, jnp.int32(nb), perm)
+    pk = normalize_key(pk_raw)
+    pkv = jnp.ones((np_,), bool)
+    s1, l1, d1 = _probe_ranges_dense(table, nb, pk, pkv)
+    s2, l2, d2 = _probe_ranges_hot(table, nb, pk, pkv, 128)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # some rows must actually resolve (sanity)
+    assert int(jnp.sum(l1)) > 0
