@@ -31,7 +31,7 @@ def compact_mask(mask, capacity: Optional[int] = None,
     n = mask.shape[0]
     cap = capacity if capacity is not None else n
     inc = mask.astype(jnp.int32)
-    pos = jnp.cumsum(inc) - inc          # exclusive prefix sum = output slot
+    pos = jnp.cumsum(inc, dtype=jnp.int32) - inc          # exclusive prefix sum = output slot
     count = pos[-1] + inc[-1] if n > 0 else jnp.int32(0)
     src = jnp.arange(n, dtype=index_dtype)
     slot = jnp.where(mask & (pos < cap), pos, cap)
@@ -46,7 +46,7 @@ def compact_values(mask, values, capacity: Optional[int] = None):
     n = mask.shape[0]
     cap = capacity if capacity is not None else n
     inc = mask.astype(jnp.int32)
-    pos = jnp.cumsum(inc) - inc
+    pos = jnp.cumsum(inc, dtype=jnp.int32) - inc
     count = pos[-1] + inc[-1] if n > 0 else jnp.int32(0)
     slot = jnp.where(mask & (pos < cap), pos, cap)
     out = jnp.zeros((cap + 1,) + values.shape[1:], dtype=values.dtype)

@@ -53,7 +53,10 @@ class JoinTable(NamedTuple):
 
 
 def _exclusive_cumsum(x):
-    c = jnp.cumsum(x)
+    # dtype pinned: under x64 jnp.cumsum(int32) PROMOTES to int64, which
+    # on TPU lowers as a (u32, u32)-pair reduce-window — slow, and at some
+    # shapes it blows XLA's scoped-vmem budget (measured r5)
+    c = jnp.cumsum(x, dtype=x.dtype)
     return c - x, c[-1] if x.shape[0] else jnp.int32(0)
 
 
@@ -298,7 +301,7 @@ def probe_chunk(jt: JoinTable, probe_keys, capacity: int,
         touch = cnt > 0
         marks = marks.at[jnp.where(touch, lo, nb)].add(1, mode="drop")
         marks = marks.at[jnp.where(touch, hi, nb)].add(-1, mode="drop")
-        covered = jnp.cumsum(marks[:nb]) > 0
+        covered = jnp.cumsum(marks[:nb], dtype=jnp.int32) > 0
         # existing-but-unmatched build rows, including null-key rows
         unmatched = sorted_exists & ~covered
         n_unmatched = jnp.sum(unmatched.astype(jnp.int32))
@@ -775,13 +778,21 @@ def _probe_ranges_dense(table, nb: int, pk_norm, probe_kv):
     _, _, start_s, ln_s, _ = shard_compat.while_loop(
         scond, sbody, (jnp.int32(0), pos_s, start_s, ln_s, row_live))
     tgt = jnp.where(row_live, sel, jnp.int32(np_))
-    start = start.at[tgt].set(start_s, mode="drop")
-    ln = ln.at[tgt].set(ln_s, mode="drop")
+    # fresh-zero scatter + select merge: a computed-operand TPU scatter
+    # costs ~130 ns/element vs ~4 for a zero-initialized one (r5,
+    # scratch/prof_join_r5h.py); scatter targets are unresolved rows whose
+    # r1 start/ln are 0, so the covered-mask select reconstructs exactly
+    covered = jnp.zeros((np_ + 1,), bool).at[tgt].set(
+        True, mode="drop", indices_are_sorted=True)[:np_]
+    z_st = jnp.zeros((np_ + 1,), jnp.int32).at[tgt].set(
+        start_s, mode="drop", indices_are_sorted=True)[:np_]
+    z_ln = jnp.zeros((np_ + 1,), jnp.int32).at[tgt].set(
+        ln_s, mode="drop", indices_are_sorted=True)[:np_]
+    start = jnp.where(covered, z_st, start)
+    ln = jnp.where(covered, z_ln, ln)
 
     # ---- overflow fallback (unresolved rows beyond cap): full-width walk,
     # zero iterations unless cap overflowed ------------------------------
-    covered = jnp.zeros((np_ + 1,), bool).at[tgt].set(
-        True, mode="drop")[:np_]
     unresolved2 = unresolved & ~covered
 
     def pcond(state):
@@ -873,7 +884,13 @@ def _probe_ranges_hot(table, nb: int, pk_norm, probe_kv, K: int):
     nxt = lax.cummin(sp[::-1])[::-1]
     nxt = jnp.concatenate([nxt[1:], jnp.full((1,), m, jnp.int32)])
     cnt_s = jnp.where(first & (ss != I64MAX), nxt - iota_s, 0)
-    topv, topi = lax.top_k(cnt_s, K)
+    # sort-based top-K, NOT lax.top_k: TopK lowers through a (value, index)
+    # pair reduce-window that blows XLA's scoped-vmem budget at some probe
+    # shapes ("It should not be possible to run out of scoped vmem",
+    # measured r5 at 16M rows); one more 64k sort is ~free
+    _, topv, topi = lax.sort((-cnt_s, cnt_s, iota_s), num_keys=1,
+                             is_stable=True)
+    topv, topi = topv[:K], topi[:K]
     hot64 = ss[topi]
     hot_ok = (topv >= 4) & (hot64 != I64MAX)
     hlo64, hhi64 = split_i64(hot64)
@@ -957,26 +974,40 @@ def _probe_ranges_hot(table, nb: int, pk_norm, probe_kv, K: int):
     _, _, st_w, ln_w, _ = shard_compat.while_loop(
         wcond, wbody, (jnp.int32(0), pos_w, jnp.zeros((C2,), jnp.int32),
                        jnp.zeros((C2,), jnp.int32), live2))
+    # ALL scatters below write into FRESH ZERO operands and merge with a
+    # select: a TPU scatter whose operand is a computed array lowers to a
+    # ~130 ns/element path regardless of sorted/unique flags or
+    # optimization barriers, while a zero-initialized operand scatters at
+    # ~4 ns/element (measured r5, scratch/prof_join_r5h.py — 30x).
     tgt2 = jnp.where(live2, sel2, jnp.int32(C1))
-    start_s = jnp.concatenate([start_s, jnp.zeros((1,), jnp.int32)]).at[
-        tgt2].set(st_w, mode="drop", indices_are_sorted=True)[:C1]
-    ln_s = jnp.concatenate([ln_s, jnp.zeros((1,), jnp.int32)]).at[
-        tgt2].set(ln_w, mode="drop", indices_are_sorted=True)[:C1]
+    z_st = jnp.zeros((C1 + 1,), jnp.int32).at[tgt2].set(
+        st_w, mode="drop", indices_are_sorted=True)[:C1]
+    z_ln = jnp.zeros((C1 + 1,), jnp.int32).at[tgt2].set(
+        ln_w, mode="drop", indices_are_sorted=True)[:C1]
+    z_w = jnp.zeros((C1 + 1,), bool).at[tgt2].set(
+        live2, mode="drop", indices_are_sorted=True)[:C1]
+    start_s = jnp.where(z_w, z_st, start_s)
+    ln_s = jnp.where(z_w, z_ln, ln_s)
 
-    # ---- 5. one sorted scatter per output back to full width ------------
+    # ---- 5. scatter the cold subset to full width (fresh zeros), then
+    # merge: scatter targets are exactly the compacted cold rows, whose
+    # pre-merge start/ln are 0 — so select on the hot mask reconstructs
+    # the full-width answer without a read-modify-write scatter ----------
     tgt1 = jnp.where(live1, sel1, jnp.int32(np_))
-    start = jnp.concatenate([start, jnp.zeros((1,), jnp.int32)]).at[
-        tgt1].set(start_s, mode="drop", indices_are_sorted=True)[:np_]
-    ln = jnp.concatenate([ln, jnp.zeros((1,), jnp.int32)]).at[
-        tgt1].set(ln_s, mode="drop", indices_are_sorted=True)[:np_]
+    f_st = jnp.zeros((np_ + 1,), jnp.int32).at[tgt1].set(
+        start_s, mode="drop", indices_are_sorted=True)[:np_]
+    f_ln = jnp.zeros((np_ + 1,), jnp.int32).at[tgt1].set(
+        ln_s, mode="drop", indices_are_sorted=True)[:np_]
+    start = jnp.where(is_hot, start, f_st)
+    ln = jnp.where(is_hot, ln, f_ln)
 
     # ---- 6. overflow fallback: full-width walk from home ----------------
     overflowed = (n1 > jnp.int32(C1)) | (n2 > jnp.int32(C2))
 
     def mk_unres(_):
-        rank1 = jnp.cumsum(cold.astype(jnp.int32))
+        rank1 = jnp.cumsum(cold, dtype=jnp.int32)
         un_a = cold & (rank1 > jnp.int32(C1))
-        rank2 = jnp.cumsum(unres_s.astype(jnp.int32))
+        rank2 = jnp.cumsum(unres_s, dtype=jnp.int32)
         un_s_over = unres_s & (rank2 > jnp.int32(C2))
         un_b = jnp.zeros((np_ + 1,), bool).at[tgt1].set(
             un_s_over, mode="drop", indices_are_sorted=True)[:np_]

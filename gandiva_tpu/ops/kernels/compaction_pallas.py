@@ -364,7 +364,8 @@ def compact_pallas_u32_fragnet(mask, payloads_u32: Sequence,
 
     m2 = mask.astype(jnp.int32).reshape(nb, rows_per_block, LANE)
     counts = jnp.sum(m2, axis=(1, 2))
-    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    offsets = (jnp.cumsum(counts, dtype=jnp.int32)
+               - counts).astype(jnp.int32)
     count = counts.sum()
 
     AR = rows_per_block + 2 * SUB
@@ -422,7 +423,8 @@ def compact_pallas_u32(mask, payloads_u32: Sequence,
 
     m2 = mask.astype(jnp.int32).reshape(nb, rows_per_block, LANE)
     chunk_cnt = jnp.sum(m2, axis=2)                       # [nb, rows]
-    rowoffs = (jnp.cumsum(chunk_cnt, axis=1) - chunk_cnt).astype(jnp.int32)
+    rowoffs = (jnp.cumsum(chunk_cnt, axis=1, dtype=jnp.int32)
+               - chunk_cnt).astype(jnp.int32)
     # pad the row dim to LANE: DMA slices must be 128-aligned
     rpad = ((rows_per_block + LANE - 1) // LANE) * LANE
     if rpad != rows_per_block:
@@ -430,7 +432,8 @@ def compact_pallas_u32(mask, payloads_u32: Sequence,
             [rowoffs, jnp.zeros((nb, rpad - rows_per_block), jnp.int32)],
             axis=1)
     counts = jnp.sum(chunk_cnt, axis=1)
-    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    offsets = (jnp.cumsum(counts, dtype=jnp.int32)
+               - counts).astype(jnp.int32)
     count = counts.sum()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -349,7 +349,7 @@ def dist_join_skewed(probe_keys, probe_valid, probe_cols,
         un_hot = rep_ok & ~rep_hit & own
         unmatched = jnp.concatenate([un_cold, un_hot])
         n_un = jnp.sum(unmatched.astype(jnp.int32))
-        upos = jnp.cumsum(unmatched.astype(jnp.int32)) - unmatched
+        upos = jnp.cumsum(unmatched, dtype=jnp.int32) - unmatched
         total = res.count
         uslot = jnp.where(unmatched & (total + upos < C),
                           total + upos, C).astype(jnp.int32)

@@ -28,33 +28,34 @@ def timed(name, fn):
     per = (time.perf_counter() - t0) / ITERS
     print(f"{name:34s} {per*1e3:8.1f} ms  {N/per/1e6:7.0f} Mrows/s  (compile {c:.0f}s) chk={r & 0xffff}", flush=True)
 
+import functools
 for rows in (64, 128, 256):
     if N % (rows * 128):
         continue
-    @jax.jit
-    def f_frag(m=mask, rows=rows):
-        packed, cnt = cp.compact_pallas_u32_fragnet(m, pay, rows_per_block=rows)
+    @functools.partial(jax.jit, static_argnums=2)
+    def f_frag(m, ps, rows):
+        packed, cnt = cp.compact_pallas_u32_fragnet(m, list(ps), rows_per_block=rows)
         return cnt.astype(jnp.int64) + jnp.sum(packed[0][:1024].astype(jnp.int64))
     try:
-        timed(f"fragnet rows={rows}", f_frag)
+        timed(f"fragnet rows={rows}", lambda r=rows: f_frag(mask, tuple(pay), r))
     except Exception as e:
         print(f"fragnet rows={rows} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
 
 @jax.jit
-def f_old(m=mask):
-    packed, cnt = cp.compact_pallas_u32(m, pay, rows_per_block=64)
+def f_old(m, ps):
+    packed, cnt = cp.compact_pallas_u32(m, list(ps), rows_per_block=64)
     return cnt.astype(jnp.int64) + jnp.sum(packed[0][:1024].astype(jnp.int64))
-timed("masked-store rows=64", f_old)
+timed("masked-store rows=64", lambda: f_old(mask, tuple(pay)))
 
-# correctness on-device: compare first 1024 packed
+# correctness on-device
 @jax.jit
-def check():
-    p1, c1 = cp.compact_pallas_u32_fragnet(mask, pay, rows_per_block=64)
-    p2, c2 = cp.compact_pallas_u32(mask, pay, rows_per_block=64)
+def check(m, ps):
+    p1, c1 = cp.compact_pallas_u32_fragnet(m, list(ps), rows_per_block=64)
+    p2, c2 = cp.compact_pallas_u32(m, list(ps), rows_per_block=64)
     live = jnp.arange(N) < c1
     eq = (c1 == c2)
     for a, b in zip(p1, p2):
         eq = eq & jnp.all(jnp.where(live, a[:N] == b[:N], True))
     return eq.astype(jnp.int64)
-print("fragnet==masked-store:", int(check()), flush=True)
+print("fragnet==masked-store:", int(check(mask, tuple(pay))), flush=True)
 print("done")
