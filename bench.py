@@ -48,10 +48,10 @@ def bench_filter_project(n, iters):
 
     from gandiva_tpu.entrypoints import flagship_stream
 
-    # K=16 amortizes the tunnel round-trip (~30-80 ms) across more device
-    # work: measured 752 vs 663 Mrows/s at K=8, 16M rows. K=32 at 16M rows
-    # exceeds device memory (K n-row input batches are resident).
-    K = int(os.environ.get("BENCH_STREAM_BATCHES", 16))
+    # r5: 4 batches of 64M (256M rows/call) measured 1015 vs 962 Mrows/s
+    # for 16x16M — larger batches amortize the per-batch fixed costs
+    # (compaction block chain); K x n resident inputs are ~4.6 GB
+    K = int(os.environ.get("BENCH_STREAM_BATCHES", 4))
     jfn, make_inputs = flagship_stream()
     cols = make_inputs(K, n, seed=42)
 
@@ -226,7 +226,7 @@ def main():
         # op: (runner, default_rows, CPU-baseline rows/s — BASELINE.md,
         #      essential bytes/row)
         "filter_project": (lambda n: bench_filter_project(n, iters),
-                           16 * MI, 23.7e6, 22),
+                           64 * MI, 23.7e6, 22),
         "agg": (lambda n: bench_hash_aggregate(n, iters),
                 100_000_000, 127.6e6, 16),
         # int64-value variant (r4's headline), kept as a secondary line

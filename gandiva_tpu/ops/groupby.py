@@ -123,7 +123,7 @@ def group_ids(keys, valid=None, max_groups: int = 4096,
     overflow = unresolved.any()
 
     filled = table_occ[:T]
-    rank = jnp.cumsum(filled.astype(jnp.int32)) - filled.astype(jnp.int32)
+    rank = jnp.cumsum(filled, dtype=jnp.int32) - filled.astype(jnp.int32)
     group_count = jnp.sum(filled.astype(jnp.int32))
     gid = jnp.where(slot_of < T, rank[jnp.clip(slot_of, 0, T - 1)], T)
     gid = jnp.where(valid, gid, T).astype(jnp.int32)

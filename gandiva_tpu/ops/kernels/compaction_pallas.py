@@ -270,7 +270,11 @@ def _kernel_fragnet(offsets_ref, mask_ref, *refs, num_payloads: int,
 
     # ---- per-chunk offsets: exclusive log-roll scan over [rows, 1] ------
     ri = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    cnt = s[:, LANE - 1:LANE]                        # [rows, 1] inclusive
+    # lane-127 totals extracted via a roll into lane 0: a direct
+    # s[:, 127:128] slice carries lane OFFSET 127 in its Mosaic layout and
+    # the downstream [*, 1] concatenate refuses mismatched offsets
+    # ("result/input offset mismatch on non-concat dimension", r5)
+    cnt = pltpu.roll(s, jnp.int32(1), 1)[:, 0:1]     # [rows, 1] inclusive
     inc = cnt
     k = 1
     while k < rows:

@@ -41,7 +41,7 @@ def bucket_by_partition(part_ids, valid, payload: Dict[str, Any],
 
     counts = jnp.zeros((P + 1,), jnp.int32).at[part].add(1)[:P]
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+                               jnp.cumsum(counts, dtype=jnp.int32)[:-1]])
     # rank of each sorted row within its partition
     slot = jnp.arange(n, dtype=jnp.int32) - offsets[jnp.clip(sorted_part, 0, P - 1)]
     ok = (sorted_part < P) & (slot < capacity)

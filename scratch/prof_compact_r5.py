@@ -29,7 +29,7 @@ def timed(name, fn):
     print(f"{name:34s} {per*1e3:8.1f} ms  {N/per/1e6:7.0f} Mrows/s  (compile {c:.0f}s) chk={r & 0xffff}", flush=True)
 
 import functools
-for rows in (64, 128, 256):
+for rows in (64, 128, 256, 512, 1024):
     if N % (rows * 128):
         continue
     @functools.partial(jax.jit, static_argnums=2)
