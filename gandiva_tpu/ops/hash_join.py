@@ -951,13 +951,19 @@ def _probe_ranges_hot(table, nb: int, pk_norm, probe_kv, K: int):
     # ---- 4. cold tier: compacted round-1 + second-tier chain walk -------
     cold = probe_kv & ~is_hot
     C1 = min(np_, max(8192, np_ // 4))
-    idx1, n1, packed1 = _compact_with_payloads(cold, [h0p, plo_i, phi_i])
+    # carry only the key limbs; the home slot recomputes from them on the
+    # subset (hash is cheaper at np/4 width than one more full-width
+    # compaction lane)
+    idx1, n1, packed1 = _compact_with_payloads(cold, [plo_i, phi_i])
     live1 = jnp.arange(C1, dtype=jnp.int32) < jnp.minimum(
         n1, jnp.int32(C1))
     sel1 = jnp.clip(idx1[:C1].view(jnp.int32), 0, np_ - 1)
-    h0p_s = packed1[0][:C1].view(jnp.int32)
-    plo_s = packed1[1][:C1].view(jnp.int32)
-    phi_s = packed1[2][:C1].view(jnp.int32)
+    plo_s = packed1[0][:C1].view(jnp.int32)
+    phi_s = packed1[1][:C1].view(jnp.int32)
+    from ..utils.bits import combine_i64
+    pk64_s = combine_i64(plo_s.view(jnp.uint32), phi_s.view(jnp.uint32),
+                         jnp.int64)
+    h0p_s = (hash32(pk64_s) % jnp.uint32(T)).astype(jnp.int32)
 
     got = table[jnp.where(live1, h0p_s, 0)]
     occ = got[:, 3] > 0
